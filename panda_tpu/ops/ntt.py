@@ -1,0 +1,168 @@
+"""Number-theoretic transform over the scalar field, TPU-native.
+
+The reference's NTT (``/root/reference/src/cuda/core/unit/ntt/fft.cu``) is a
+shared-memory radix-2^k GPU FFT whose butterfly bodies are compiled out
+(``#if 0`` — see SURVEY.md C21); what it pins down is the contract: a
+device-resident omega-powers table built at setup (``fft.cu:63-73``), a
+radix-round driver with ping-pong buffers, and Montgomery-form inputs and
+outputs.  We keep that contract and supply real butterflies.
+
+TPU formulation: iterative Cooley-Tukey, decimation-in-time, bit-reversed
+input permutation (one gather) followed by log2(n) fully vectorized
+butterfly stages.  Each stage is a reshape + one Montgomery multiply by a
+broadcast twiddle slice + lazy-domain add/sub over the whole array: pure
+VPU work with no data-dependent control flow.  Twiddle powers
+[w^0 .. w^(n/2-1)] are built on device in log2(n) doubling steps.
+
+The transform is X[k] = sum_j x[j] w^(jk) with w a primitive n-th root of
+unity; INTT uses w^-1 and scales by n^-1.  All values Montgomery, lazy
+domain [0, 2p).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import mont
+from ..fields.config import FieldSpec, int_to_limbs
+
+
+class NttTables(NamedTuple):
+    """Device-resident per-(field, log_n) tables (reference: ``fft.cu:63-73``)."""
+    log_n: int
+    bitrev: jnp.ndarray        # (n,) int32 permutation
+    w_pows: jnp.ndarray        # (L, n/2) forward twiddles, Montgomery
+    w_inv_pows: jnp.ndarray    # (L, n/2) inverse twiddles, Montgomery
+    n_inv: np.ndarray          # (L,) n^-1 Montgomery limbs (host constant)
+
+
+def bit_reverse_permutation(log_n: int) -> np.ndarray:
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros_like(idx)
+    for _ in range(log_n):
+        rev = (rev << 1) | (idx & 1)
+        idx >>= 1
+    return rev.astype(np.int32)
+
+
+def _power_table(spec: FieldSpec, omega: int, length: int) -> jnp.ndarray:
+    """[w^0, ..., w^(length-1)] Montgomery limbs, built by doubling on device."""
+    table = jnp.asarray(spec.mont_limbs(1))[:, None]
+    size = 1
+    while size < length:
+        step = pow(omega, size, spec.modulus)
+        step_l = jnp.asarray(spec.mont_limbs(step))[:, None]
+        ext = mont.mont_mul(spec, table, step_l)
+        table = jnp.concatenate([table, ext], axis=1)
+        size *= 2
+    return table[:, :length]
+
+
+def make_tables(spec: FieldSpec, log_n: int, omega: int | None = None) -> NttTables:
+    """Build NTT tables.  omega is a plain (non-Montgomery) integer; defaults
+    to the field's canonical 2^log_n root of unity (generator convention of
+    ``bn254/paramter.cuh:241-258``)."""
+    n = 1 << log_n
+    if omega is None:
+        omega = spec.root_of_unity(log_n)
+    omega_inv = pow(omega, -1, spec.modulus)
+    n_inv = pow(n, -1, spec.modulus)
+    return NttTables(
+        log_n=log_n,
+        bitrev=jnp.asarray(bit_reverse_permutation(log_n)),
+        w_pows=_power_table(spec, omega, max(n // 2, 1)),
+        w_inv_pows=_power_table(spec, omega_inv, max(n // 2, 1)),
+        n_inv=spec.mont_limbs(n_inv),
+    )
+
+
+def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, w_pows: jnp.ndarray,
+                      log_n: int, in_mult: int = 2) -> jnp.ndarray:
+    """log2(n) DIT stages over the last axis.  x: (L, *batch, n) bit-reversed.
+
+    Values stay lazily reduced: each stage adds ~3p to the static value
+    bound (tracked exactly through the FE machinery), so no per-stage
+    canonicalization is ever needed — adds/subs are single vector ops.
+    Returns (limb array, exact value bound) for the caller's finisher.
+    """
+    n = 1 << log_n
+    L = x.shape[0]
+    batch = x.shape[1:-1]
+    nb = len(batch)
+    vb = in_mult * spec.modulus
+    for s in range(log_n):
+        m = 1 << s               # half-size of each butterfly block
+        g = n // (2 * m)         # number of blocks
+        xr = x.reshape((L,) + batch + (g, 2, m))
+        u = mont.FE(xr[..., 0, :], 1 << 15, vb)
+        v = mont.FE(xr[..., 1, :], 1 << 15, vb)
+        tw = w_pows[:, 0:n // 2:g]                      # (L, m)
+        tw = mont.FE(tw.reshape((L,) + (1,) * nb + (1, m)),
+                     1 << 15, 2 * spec.modulus)
+        t = mont.mul(spec, v, tw)
+        hi = mont.norm(spec, mont.add(spec, u, t))
+        lo = mont.norm(spec, mont.sub(spec, u, t))
+        vb = max(hi.vb, lo.vb)
+        x = jnp.stack([hi.v, lo.v], axis=-2).reshape((L,) + batch + (n,))
+    return x, vb
+
+
+def _finish(spec: FieldSpec, y: jnp.ndarray, vb: int, inverse: bool,
+            n_inv_limbs=None) -> jnp.ndarray:
+    """Transform tail: scale by n^-1 for the inverse, canonicalize to [0, p).
+
+    vb is the exact value bound propagated out of the butterfly stages —
+    using anything looser would under-reduce and corrupt the wire bytes.
+    """
+    if inverse:
+        n_inv = mont.FE(
+            n_inv_limbs.reshape((spec.n_limbs,) + (1,) * (y.ndim - 1)),
+            1 << 15, 2 * spec.modulus)
+        out = mont.mul(spec, mont.FE(y, 1 << 15, vb), n_inv)
+        return mont.canonical(spec, out)
+    return mont.canonical(spec, mont.FE(y, 1 << 15, vb))
+
+
+def ntt(spec: FieldSpec, x: jnp.ndarray, tables: NttTables) -> jnp.ndarray:
+    """Forward NTT along the last axis.  x: uint32[L, *batch, n] Montgomery,
+    canonical output in [0, p)."""
+    x = jnp.take(x, tables.bitrev, axis=-1)
+    y, vb = _butterfly_stages(spec, x, tables.w_pows, tables.log_n)
+    return _finish(spec, y, vb, False)
+
+
+def intt(spec: FieldSpec, x: jnp.ndarray, tables: NttTables) -> jnp.ndarray:
+    """Inverse NTT along the last axis (includes the n^-1 scaling)."""
+    x = jnp.take(x, tables.bitrev, axis=-1)
+    y, vb = _butterfly_stages(spec, x, tables.w_inv_pows, tables.log_n)
+    return _finish(spec, y, vb, True, jnp.asarray(tables.n_inv))
+
+
+@functools.lru_cache(maxsize=32)
+def ntt_jitted(spec: FieldSpec, log_n: int, inverse: bool = False):
+    """Jitted transform taking table arrays as runtime arguments.
+
+    (log_n drives Python-level loop structure so it must be static.)
+    """
+
+    def run(x, bitrev, w_pows, n_inv_limbs):
+        x = jnp.take(x, bitrev, axis=-1)
+        y, vb = _butterfly_stages(spec, x, w_pows, log_n)
+        return _finish(spec, y, vb, inverse, n_inv_limbs)
+
+    return jax.jit(run)
+
+
+def run_ntt(spec: FieldSpec, x: jnp.ndarray, tables: NttTables,
+            inverse: bool = False) -> jnp.ndarray:
+    """Convenience wrapper dispatching to the jitted kernel."""
+    fn = ntt_jitted(spec, tables.log_n, inverse)
+    return fn(x, tables.bitrev,
+              tables.w_inv_pows if inverse else tables.w_pows,
+              jnp.asarray(tables.n_inv))

@@ -1,0 +1,215 @@
+"""Device/session manager — the TPU equivalent of ``PandaGpuManager``.
+
+Mirrors the session semantics of the reference's Rust manager
+(``/root/reference/src/gpu_manager/wrapper.rs:8-353``):
+
+* ``init_hardware`` selects a device (``wrapper.rs:115``);
+* ``init_msm`` uploads one or more bases sets that stay device-resident
+  (``wrapper.rs:122-152``), as decoded/converted jax.Arrays instead of raw
+  device pointers;
+* ``init_msm_cached_scalars`` similarly (``wrapper.rs:171``);
+* ``init_ntt`` prepares omega/twiddle tables (``wrapper.rs:199`` ->
+  ``fft.cu:63-73``), cached per (curve, log_n);
+* ``set_config`` picks Jacobian vs Projective result coordinates
+  (``wrapper.rs:212-214``);
+* ``destroy``/``sync``/``deinit`` lifecycle (``wrapper.rs:275-312``).
+
+The reference's four CUDA streams + event choreography
+(``wrapper.rs:44-47,260-273``) dissolve into XLA async dispatch: jax ops are
+issued asynchronously and ``sync`` maps to ``block_until_ready``.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import point as cp
+from ..curves.config import CURVES, BN254, CurveSpec
+from ..fields import codec, mont
+from ..ops import ntt as ntt_ops
+from .errors import PandaError, PandaRuntimeError
+
+
+class InitUnitType(enum.Enum):
+    """``PandaGpuManagerInitUnitType`` (``wrapper.rs:24-29``)."""
+    NONE = "none"
+    MSM = "msm"
+    NTT = "ntt"
+    ALL = "all"
+
+
+class ResultCoordinateType(enum.IntEnum):
+    """``panda_msm_result_coordinate_type`` (``panda_interface.cuh:33-37``)."""
+    JACOBIAN = 0
+    PROJECTIVE = 1
+
+
+def get_device_number() -> int:
+    """``get_device_number`` (``wrapper.rs:315``)."""
+    return jax.device_count()
+
+
+def device_info(device_id: int = 0) -> dict:
+    """``device_info`` (``wrapper.rs:325``) — free/total memory when known."""
+    dev = jax.devices()[device_id]
+    stats = {}
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        pass
+    return {
+        "platform": dev.platform,
+        "device_kind": dev.device_kind,
+        "bytes_in_use": stats.get("bytes_in_use"),
+        "bytes_limit": stats.get("bytes_limit"),
+    }
+
+
+@dataclass
+class PandaManager:
+    """Session object holding the device and cached inputs."""
+
+    device_id: int = 0
+    curve: CurveSpec = BN254
+    result_coordinate_type: ResultCoordinateType = ResultCoordinateType.JACOBIAN
+    # cached device-resident inputs (index -> arrays), like d_bases/d_scalars
+    # raw pointers in wrapper.rs:16-17.
+    d_bases: list = field(default_factory=list)
+    d_scalars: list = field(default_factory=list)
+    _device: object = None
+    _ntt_tables: dict = field(default_factory=dict)
+    _ntt_omega_override: Optional[int] = None
+    _initialized: bool = False
+
+    # -- lifecycle ---------------------------------------------------------
+    @classmethod
+    def new(cls, device_id: int = 0, curve: str | CurveSpec = BN254) -> "PandaManager":
+        """``PandaGpuManager::new`` (``wrapper.rs:32``): hardware init only."""
+        gm = cls(device_id=device_id,
+                 curve=CURVES[curve] if isinstance(curve, str) else curve)
+        gm.init_hardware(device_id)
+        return gm
+
+    @classmethod
+    def init_all(cls, device_id: int, unit: InitUnitType,
+                 bases: Optional[list] = None,
+                 omega_bytes: Optional[bytes] = None,
+                 curve: str | CurveSpec = BN254) -> "PandaManager":
+        """``PandaGpuManager::init_all`` (``wrapper.rs:55``)."""
+        gm = cls.new(device_id, curve)
+        if unit in (InitUnitType.MSM, InitUnitType.ALL) and bases is not None:
+            gm.init_msm(bases)
+        if unit in (InitUnitType.NTT, InitUnitType.ALL):
+            gm.init_ntt(omega_bytes)
+        return gm
+
+    def init_hardware(self, device_id: int) -> None:
+        """``init_hardware`` (``wrapper.rs:115``)."""
+        devs = jax.devices()
+        if not 0 <= device_id < len(devs):
+            raise PandaRuntimeError(PandaError.INVALID_DEVICE, str(device_id))
+        self.device_id = device_id
+        self._device = devs[device_id]
+        self._initialized = True
+
+    def _require_init(self):
+        if not self._initialized:
+            raise PandaRuntimeError(PandaError.NOT_INITIALIZED)
+
+    # -- cached inputs -----------------------------------------------------
+    def _upload(self, arr: np.ndarray) -> jnp.ndarray:
+        return jax.device_put(arr, self._device)
+
+    def init_msm(self, bases_sets: list) -> int:
+        """Upload bases sets; each entry is an affine-point byte blob
+        (``wrapper.rs:122-152``).  Returns count of cached sets."""
+        self._require_init()
+        for blob in bases_sets:
+            self.init_msm_cached_bases(blob)
+        return len(self.d_bases)
+
+    def init_msm_cached_bases(self, blob: bytes) -> int:
+        """``init_msm_cached_bases`` (``wrapper.rs:154``) -> cache index."""
+        self._require_init()
+        x, y = codec.points_bytes_to_limbs(self.curve.fp, blob)
+        self.d_bases.append((self._upload(x), self._upload(y)))
+        return len(self.d_bases) - 1
+
+    def init_msm_cached_scalars(self, blob: bytes) -> int:
+        """``init_msm_cached_scalars`` (``wrapper.rs:171``) -> cache index."""
+        self._require_init()
+        s = codec.bytes_to_limbs(self.curve.fr, blob)
+        self.d_scalars.append(self._upload(s))
+        return len(self.d_scalars) - 1
+
+    def init_msm_cached(self, bases_blob: bytes, scalars_blob: bytes) -> tuple:
+        """``init_msm_cached`` (``wrapper.rs:188``)."""
+        return (self.init_msm_cached_bases(bases_blob),
+                self.init_msm_cached_scalars(scalars_blob))
+
+    # -- NTT ---------------------------------------------------------------
+    def init_ntt(self, omega_bytes: Optional[bytes] = None) -> None:
+        """``init_ntt`` (``wrapper.rs:199``): record omega; tables are built
+        lazily per log_n (the reference builds its 32-entry omega table at
+        setup, ``fft.cu:63-73``).  omega_bytes: Montgomery LE bytes."""
+        self._require_init()
+        if omega_bytes is not None:
+            fr = self.curve.fr
+            limbs = codec.bytes_to_limbs(fr, omega_bytes)
+            self._ntt_omega_override = fr.from_mont_int(
+                codec.limbs_to_ints(fr, limbs)[0])
+        self._ntt_tables.clear()
+
+    def ntt_tables(self, log_n: int, omega_int: Optional[int] = None) -> ntt_ops.NttTables:
+        fr = self.curve.fr
+        omega = omega_int if omega_int is not None else self._ntt_omega_override
+        key = (fr.name, log_n, omega)
+        if key not in self._ntt_tables:
+            if omega is not None:
+                base = omega
+            else:
+                base = fr.root_of_unity(log_n)
+            tabs = ntt_ops.make_tables(fr, log_n, base)
+            self._ntt_tables[key] = tabs
+        return self._ntt_tables[key]
+
+    # -- config ------------------------------------------------------------
+    def set_config(self, coordinate_type: ResultCoordinateType) -> None:
+        """``set_config`` (``wrapper.rs:212-214``)."""
+        self.result_coordinate_type = ResultCoordinateType(coordinate_type)
+
+    # -- lifecycle tail ----------------------------------------------------
+    def sync(self) -> None:
+        """``sync`` (``wrapper.rs:291``): drain async dispatch."""
+        for x, y in self.d_bases:
+            x.block_until_ready()
+            y.block_until_ready()
+
+    def deinit(self) -> None:
+        """``deinit``/``destroy`` (``wrapper.rs:275-312``): drop caches."""
+        self.d_bases.clear()
+        self.d_scalars.clear()
+        self._ntt_tables.clear()
+
+    destroy = deinit
+
+    # -- result marshalling ------------------------------------------------
+    def format_result(self, pt: cp.ProjPoint) -> bytes:
+        """Project a homogeneous result to the configured output coordinates
+        and serialize to the reference's 3x field-element LE blob."""
+        f = self.curve.fp
+        if self.result_coordinate_type == ResultCoordinateType.JACOBIAN:
+            x, y, z = cp.to_jacobian(self.curve, pt)
+        else:
+            # Homogeneous (X:Y:Z) is itself a valid projective representative
+            # of the class produced by the reference's Jacobian->projective
+            # conversion (projective.cuh:66-77); see curves/point.py.
+            x, y, z = pt
+        to_np = lambda a: np.asarray(mont.canonical(f, a))
+        return codec.point3_limbs_to_bytes(f, to_np(x), to_np(y), to_np(z))

@@ -1,0 +1,78 @@
+"""Test harness: CPU backend with 8 virtual devices for mesh/sharding tests.
+
+Environment must be set before jax initializes (first import wins).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8")
+# Persistent compilation cache: EC-add graphs are large; re-runs of the
+# suite should not re-pay XLA compile time.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import random
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return random.Random(20260816)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running correctness sweeps")
+
+
+# ---------------------------------------------------------------------------
+# Shared conversion helpers (int <-> device arrays, oracle <-> kernel forms)
+# ---------------------------------------------------------------------------
+
+def to_mont_limbs(spec, values):
+    """Plain ints -> device Montgomery limb array."""
+    import jax.numpy as jnp
+    from panda_tpu.fields import codec
+    return jnp.asarray(codec.ints_to_limbs(
+        spec, [spec.to_mont_int(v) for v in values]))
+
+
+def from_mont_limbs(spec, arr):
+    """Device Montgomery limb array -> plain ints (canonicalizes)."""
+    from panda_tpu.fields import codec, mont
+    return codec.limbs_to_ints(spec, np.asarray(mont.from_mont(spec, arr)))
+
+
+def points_to_device(curve, pts):
+    """Affine int pairs -> (px, py) Montgomery limb arrays."""
+    xs = [x for x, _ in pts]
+    ys = [y for _, y in pts]
+    return to_mont_limbs(curve.fp, xs), to_mont_limbs(curve.fp, ys)
+
+
+def proj_to_oracle(curve, pp):
+    """ProjPoint batch -> list of affine int pairs (None = identity)."""
+    import jax
+    from panda_tpu.curves import point as cp
+    aff = jax.jit(lambda q: cp.to_affine(curve, q))(pp)
+    xs = from_mont_limbs(curve.fp, aff.x)
+    ys = from_mont_limbs(curve.fp, aff.y)
+    if isinstance(xs, list):
+        return [None if (x == 0 and y == 0) else (x, y)
+                for x, y in zip(xs, ys)]
+    return None
+
+
+@pytest.fixture(scope="session")
+def helpers():
+    class H:
+        pass
+    H.to_mont_limbs = staticmethod(to_mont_limbs)
+    H.from_mont_limbs = staticmethod(from_mont_limbs)
+    H.points_to_device = staticmethod(points_to_device)
+    H.proj_to_oracle = staticmethod(proj_to_oracle)
+    return H

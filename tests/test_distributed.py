@@ -1,0 +1,63 @@
+"""Multi-chip sharding tests on an 8-device virtual CPU mesh.
+
+New surface vs the reference (which is single-GPU; SURVEY.md §2.9): sharded
+results must be bit-exact vs the single-device pipelines.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from panda_tpu.curves import point as cp
+from panda_tpu.curves.config import BN254
+from panda_tpu.ops import msm as msm_ops
+from panda_tpu.ops import ntt as ntt_ops
+from panda_tpu.parallel import msm_sharded, ntt_sharded
+from panda_tpu.reference import curve_ref as oracle
+from tests.conftest import (from_mont_limbs, points_to_device, proj_to_oracle,
+                            to_mont_limbs)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.array(jax.devices())
+    assert devs.size >= 8, "conftest must provide 8 virtual devices"
+    return Mesh(devs[:8], axis_names=("d",))
+
+
+def test_msm_sharded_matches_local(mesh, rng):
+    curve = BN254
+    n, c = 64, 6
+    pts = [oracle.random_point(curve, rng) for _ in range(n)]
+    scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
+    px, py = points_to_device(curve, pts)
+    s = to_mont_limbs(curve.fr, scalars)
+
+    local = jax.jit(lambda a, b, d: msm_ops.msm(curve, a, b, d, c=c))(px, py, s)
+    exp = proj_to_oracle(curve, cp.ProjPoint(*(a[:, None] for a in local)))[0]
+
+    fn = msm_sharded.msm_sharded_jitted(curve, mesh, "d", c)
+    spx, spy, ss = msm_sharded.shard_inputs(mesh, "d", px, py, s)
+    got_pt = fn(spx, spy, ss)
+    got = proj_to_oracle(curve, cp.ProjPoint(*(np.asarray(a)[:, None]
+                                               for a in got_pt)))[0]
+    assert got == exp == oracle.msm_oracle(curve, pts, scalars)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_ntt_sharded_matches_local(mesh, rng, inverse):
+    spec = BN254.fr
+    log_n = 8
+    n = 1 << log_n
+    vals = [rng.randrange(spec.modulus) for _ in range(n)]
+    x = to_mont_limbs(spec, vals)
+
+    tables = ntt_ops.make_tables(spec, log_n)
+    local = np.asarray(ntt_ops.run_ntt(spec, x, tables, inverse=inverse))
+
+    fn = ntt_sharded.ntt_sharded_jitted(spec, mesh, "d", log_n,
+                                        inverse=inverse)
+    got = np.asarray(fn(x))
+    assert (got == local).all(), "sharded NTT must be bit-exact vs local"

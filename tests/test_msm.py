@@ -1,0 +1,101 @@
+"""MSM pipeline vs the Python oracle (the arkworks-oracle analog of
+``tests/test.rs:50-112``, scaled to CI-friendly sizes)."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from panda_tpu.curves import point as cp
+from panda_tpu.curves.config import BLS12_377, BN254
+from panda_tpu.fields import codec, mont
+from panda_tpu.ops import msm as msm_ops
+from panda_tpu.reference import curve_ref as oracle
+from tests.conftest import points_to_device, proj_to_oracle, to_mont_limbs
+
+
+def _run_case(curve, rng, n, c=None, lanes=None, dup=False, zeros=False):
+    pts = [oracle.random_point(curve, rng) for _ in range(n)]
+    if dup:  # duplicate points in the same bucket exercise add(P, P) paths
+        pts = [pts[0]] * (n // 2) + pts[n // 2:]
+    scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
+    if dup:
+        scalars = [scalars[0]] * (n // 4) + scalars[n // 4:]
+    if zeros:
+        scalars[::3] = [0] * len(scalars[::3])
+    exp = oracle.msm_oracle(curve, pts, scalars)
+    px, py = points_to_device(curve, pts)
+    s = to_mont_limbs(curve.fr, scalars)
+    res = jax.jit(lambda a, b, d: msm_ops.msm(curve, a, b, d, c=c, lanes=lanes))(px, py, s)
+    got = proj_to_oracle(curve, cp.ProjPoint(*(a[:, None] for a in res)))[0]
+    assert got == exp
+
+
+def test_msm_bn254_small(rng):
+    _run_case(BN254, rng, 64)
+
+
+def test_msm_bn254_duplicates_and_zero_scalars(rng):
+    _run_case(BN254, rng, 64, dup=True, zeros=True)
+
+
+def test_msm_bn254_nonpow2_and_lanes(rng):
+    _run_case(BN254, rng, 48, c=6, lanes=8)
+
+
+def test_msm_bls12_377(rng):
+    _run_case(BLS12_377, rng, 32, c=5)
+
+
+def test_msm_single_point(rng):
+    _run_case(BN254, rng, 1, c=3)
+
+
+@pytest.mark.slow
+def test_msm_bn254_k10(rng):
+    _run_case(BN254, rng, 1 << 10)
+
+
+def test_window_bits_policy():
+    """Reference policy (``msm_cuda.cuh:21-45``) capped at 15."""
+    assert msm_ops.window_bits(10) == 10
+    assert msm_ops.window_bits(13) == 14
+    assert msm_ops.window_bits(14) == 14
+    assert msm_ops.window_bits(15) == 15
+    assert msm_ops.window_bits(20) == 15
+    assert msm_ops.window_bits(2) == 3
+
+
+def test_extract_digits_roundtrip(rng):
+    fr = BN254.fr
+    vals = [rng.randrange(fr.modulus) for _ in range(16)]
+    s = jnp.asarray(codec.ints_to_limbs(fr, vals))
+    for c in (3, 8, 13, 15):
+        digits = np.asarray(msm_ops.extract_digits(fr, s, c))
+        recon = [0] * 16
+        for w in range(digits.shape[0]):
+            for j in range(16):
+                recon[j] += int(digits[w, j]) << (w * c)
+        assert recon == vals, f"c={c}"
+
+
+def test_window_sums_match_oracle(rng):
+    """Per-window partial sums equal sum(digit * P) directly."""
+    curve = BN254
+    n, c = 32, 6
+    pts = [oracle.random_point(curve, rng) for _ in range(n)]
+    scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
+    px, py = points_to_device(curve, pts)
+    s = to_mont_limbs(curve.fr, scalars)
+    s_std = mont.from_mont(curve.fr, s)
+    digits = msm_ops.extract_digits(curve.fr, s_std, c)
+    sums = jax.jit(lambda a, b, d: msm_ops.window_sums(curve, a, b, d, c))(
+        px, py, digits)
+    d_np = np.asarray(digits)
+    for w in range(d_np.shape[0]):
+        exp = oracle.msm_oracle(curve, pts, [int(d) for d in d_np[w]])
+        got = proj_to_oracle(
+            curve, cp.ProjPoint(*(a[w][:, None] for a in sums)))[0]
+        assert got == exp, f"window {w}"
