@@ -148,7 +148,37 @@ class FieldSpec:
     def zero_limbs(self) -> np.ndarray:
         return np.zeros(self.n_limbs, dtype=np.uint32)
 
-    # -- Montgomery helpers on Python ints (used by codecs & oracles) ------
+    # -- wire-format Montgomery domain ------------------------------------
+    # The FFI byte contract inherits arkworks' 64-bit-limb Montgomery form:
+    # R_wire = 2^256 for 254-bit fields, 2^384 for BLS12-377 Fp (see the
+    # reference's ONE constant, bn254/paramter.cuh:112).  Our internal
+    # 15-bit-limb domain uses R = 2^(15L); the codec boundary converts.
+    @functools.cached_property
+    def wire_r(self) -> int:
+        return 1 << (8 * self.n_bytes)
+
+    @functools.cached_property
+    def wire_in_limbs(self) -> np.ndarray:
+        """Montgomery-multiply constant: wire-domain -> internal-domain.
+
+        mont_mul(V, C) with C = R^2 / R_wire turns V = a*R_wire into a*R.
+        """
+        c = self.r * self.r * pow(self.wire_r, -1, self.modulus) % self.modulus
+        return int_to_limbs(c, self.n_limbs)
+
+    @functools.cached_property
+    def wire_out_limbs(self) -> np.ndarray:
+        """Montgomery-multiply constant: internal-domain -> wire-domain."""
+        return int_to_limbs(self.wire_r % self.modulus, self.n_limbs)
+
+    def to_wire_int(self, a: int) -> int:
+        """Plain int -> wire-format (Montgomery R_wire) integer value."""
+        return a * self.wire_r % self.modulus
+
+    def from_wire_int(self, v: int) -> int:
+        return v * pow(self.wire_r, -1, self.modulus) % self.modulus
+
+    # -- internal Montgomery helpers on Python ints -----------------------
     def to_mont_int(self, a: int) -> int:
         return a * self.r % self.modulus
 

@@ -331,6 +331,19 @@ def to_mont(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     return mont_mul_const(spec, a, spec.r2_limbs)
 
 
+def from_wire(spec: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Wire-format Montgomery (R_wire = 2^(8*n_bytes), the arkworks byte
+    contract) -> internal Montgomery (R = 2^(15 L)).  One constant mul."""
+    return mont_mul_const(spec, a, spec.wire_in_limbs, mult=2)
+
+
+def to_wire(spec: FieldSpec, a: jnp.ndarray, mult: int = 8) -> jnp.ndarray:
+    """Internal Montgomery -> canonical wire-format Montgomery value."""
+    out = mul_const(spec, fe(spec, a, mult), spec.wire_out_limbs,
+                    2 * spec.modulus)
+    return canonical(spec, out)
+
+
 def from_mont(spec: FieldSpec, a: jnp.ndarray, mult: int = 8) -> jnp.ndarray:
     """Montgomery -> standard form, canonical [0, p)."""
     out = mul_const(spec, fe(spec, a, mult), spec.unity_limbs, spec.modulus)

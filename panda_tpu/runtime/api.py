@@ -49,12 +49,23 @@ def _msm_run(gm: PandaManager, scalars, bases_xy) -> bytes:
     return gm.format_result(result)
 
 
+def _ingest_scalars(gm: PandaManager, scalars_bytes: bytes):
+    fr = gm.curve.fr
+    return mont.from_wire(fr, jnp.asarray(codec.bytes_to_limbs(fr, scalars_bytes)))
+
+
+def _ingest_bases(gm: PandaManager, bases_bytes: bytes):
+    fp = gm.curve.fp
+    x, y = codec.points_bytes_to_limbs(fp, bases_bytes)
+    return (mont.from_wire(fp, jnp.asarray(x)),
+            mont.from_wire(fp, jnp.asarray(y)))
+
+
 def msm(gm: PandaManager, scalars_bytes: bytes, bases_bytes: bytes) -> bytes:
     """``panda_msm_bn254_gpu`` (unit.rs:10): upload scalars+bases, run,
     return the 3-coordinate result blob."""
-    scalars = codec.bytes_to_limbs(gm.curve.fr, scalars_bytes)
-    bases = codec.points_bytes_to_limbs(gm.curve.fp, bases_bytes)
-    return _msm_run(gm, scalars, bases)
+    return _msm_run(gm, _ingest_scalars(gm, scalars_bytes),
+                    _ingest_bases(gm, bases_bytes))
 
 
 def msm_with_cached_bases(gm: PandaManager, scalars_bytes: bytes,
@@ -62,8 +73,8 @@ def msm_with_cached_bases(gm: PandaManager, scalars_bytes: bytes,
     """``panda_msm_bn254_gpu_with_cached_bases`` (unit.rs:103)."""
     if not 0 <= bases_index < len(gm.d_bases):
         raise PandaRuntimeError(PandaError.INVALID_VALUE, "bases index")
-    scalars = codec.bytes_to_limbs(gm.curve.fr, scalars_bytes)
-    return _msm_run(gm, scalars, gm.d_bases[bases_index])
+    return _msm_run(gm, _ingest_scalars(gm, scalars_bytes),
+                    gm.d_bases[bases_index])
 
 
 def msm_with_cached_scalars(gm: PandaManager, bases_bytes: bytes,
@@ -71,8 +82,8 @@ def msm_with_cached_scalars(gm: PandaManager, bases_bytes: bytes,
     """``panda_msm_bn254_gpu_with_cached_scalars`` (unit.rs:190)."""
     if not 0 <= scalars_index < len(gm.d_scalars):
         raise PandaRuntimeError(PandaError.INVALID_VALUE, "scalars index")
-    bases = codec.points_bytes_to_limbs(gm.curve.fp, bases_bytes)
-    return _msm_run(gm, gm.d_scalars[scalars_index], bases)
+    return _msm_run(gm, gm.d_scalars[scalars_index],
+                    _ingest_bases(gm, bases_bytes))
 
 
 def msm_with_cached_input(gm: PandaManager, scalars_index: int = 0,
@@ -99,17 +110,17 @@ def msm_host(gm: PandaManager, scalars_bytes: bytes, bases_bytes: bytes) -> byte
     from ..reference import curve_ref
     fr, fp = gm.curve.fr, gm.curve.fp
     s_limbs = codec.bytes_to_limbs(fr, scalars_bytes)
-    scalars = [fr.from_mont_int(v) for v in codec.limbs_to_ints(fr, s_limbs)]
+    scalars = [fr.from_wire_int(v) for v in codec.limbs_to_ints(fr, s_limbs)]
     bx, by = codec.points_bytes_to_limbs(fp, bases_bytes)
-    xs = [fp.from_mont_int(v) for v in codec.limbs_to_ints(fp, bx)]
-    ys = [fp.from_mont_int(v) for v in codec.limbs_to_ints(fp, by)]
+    xs = [fp.from_wire_int(v) for v in codec.limbs_to_ints(fp, bx)]
+    ys = [fp.from_wire_int(v) for v in codec.limbs_to_ints(fp, by)]
     acc = curve_ref.msm_oracle(gm.curve, list(zip(xs, ys)), scalars)
     if acc is None:
         x, y, z = 0, 1, 0
     else:
         x, y = acc
         z = 1
-    limbs = lambda v: codec.ints_to_limbs(fp, [fp.to_mont_int(v)])
+    limbs = lambda v: codec.ints_to_limbs(fp, [fp.to_wire_int(v)])
     return codec.point3_limbs_to_bytes(fp, limbs(x), limbs(y), limbs(z))
 
 
@@ -125,8 +136,9 @@ def _ntt_run(gm: PandaManager, data: bytes, log_n: int,
         raise PandaRuntimeError(PandaError.INVALID_CONFIGURATION,
                                 f"expected 2^{log_n} elements")
     tables = gm.ntt_tables(log_n, omega_int)
-    y = ntt_ops.run_ntt(fr, jnp.asarray(x), tables, inverse=inverse)
-    return codec.limbs_to_bytes(fr, np.asarray(mont.canonical(fr, y)))
+    xin = mont.from_wire(fr, jnp.asarray(x))
+    y = ntt_ops.run_ntt(fr, xin, tables, inverse=inverse)
+    return codec.limbs_to_bytes(fr, np.asarray(mont.to_wire(fr, y, mult=2)))
 
 
 def ntt(gm: PandaManager, data: bytes, log_n: int) -> bytes:
@@ -147,7 +159,7 @@ def ntt_v1(gm: PandaManager, data: bytes, log_n: int,
     (Montgomery LE bytes)."""
     fr = gm.curve.fr
     limbs = codec.bytes_to_limbs(fr, omega_bytes)
-    omega = fr.from_mont_int(codec.limbs_to_ints(fr, limbs)[0])
+    omega = fr.from_wire_int(codec.limbs_to_ints(fr, limbs)[0])
     return _ntt_run(gm, data, log_n, omega, inverse=False)
 
 

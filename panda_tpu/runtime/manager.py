@@ -22,6 +22,7 @@ issued asynchronously and ``sync`` maps to ``block_until_ready``.
 from __future__ import annotations
 
 import enum
+import functools
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -34,6 +35,11 @@ from ..curves.config import CURVES, BN254, CurveSpec
 from ..fields import codec, mont
 from ..ops import ntt as ntt_ops
 from .errors import PandaError, PandaRuntimeError
+
+
+@functools.lru_cache(maxsize=16)
+def _wire_in_jitted(spec):
+    return jax.jit(lambda a: mont.from_wire(spec, a))
 
 
 class InitUnitType(enum.Enum):
@@ -123,8 +129,10 @@ class PandaManager:
             raise PandaRuntimeError(PandaError.NOT_INITIALIZED)
 
     # -- cached inputs -----------------------------------------------------
-    def _upload(self, arr: np.ndarray) -> jnp.ndarray:
-        return jax.device_put(arr, self._device)
+    def _upload(self, spec, arr: np.ndarray) -> jnp.ndarray:
+        """Device upload + wire->internal Montgomery domain shift."""
+        dev = jax.device_put(arr, self._device)
+        return _wire_in_jitted(spec)(dev)
 
     def init_msm(self, bases_sets: list) -> int:
         """Upload bases sets; each entry is an affine-point byte blob
@@ -137,15 +145,17 @@ class PandaManager:
     def init_msm_cached_bases(self, blob: bytes) -> int:
         """``init_msm_cached_bases`` (``wrapper.rs:154``) -> cache index."""
         self._require_init()
-        x, y = codec.points_bytes_to_limbs(self.curve.fp, blob)
-        self.d_bases.append((self._upload(x), self._upload(y)))
+        fp = self.curve.fp
+        x, y = codec.points_bytes_to_limbs(fp, blob)
+        self.d_bases.append((self._upload(fp, x), self._upload(fp, y)))
         return len(self.d_bases) - 1
 
     def init_msm_cached_scalars(self, blob: bytes) -> int:
         """``init_msm_cached_scalars`` (``wrapper.rs:171``) -> cache index."""
         self._require_init()
-        s = codec.bytes_to_limbs(self.curve.fr, blob)
-        self.d_scalars.append(self._upload(s))
+        fr = self.curve.fr
+        s = codec.bytes_to_limbs(fr, blob)
+        self.d_scalars.append(self._upload(fr, s))
         return len(self.d_scalars) - 1
 
     def init_msm_cached(self, bases_blob: bytes, scalars_blob: bytes) -> tuple:
@@ -162,7 +172,7 @@ class PandaManager:
         if omega_bytes is not None:
             fr = self.curve.fr
             limbs = codec.bytes_to_limbs(fr, omega_bytes)
-            self._ntt_omega_override = fr.from_mont_int(
+            self._ntt_omega_override = fr.from_wire_int(
                 codec.limbs_to_ints(fr, limbs)[0])
         self._ntt_tables.clear()
 
@@ -202,7 +212,8 @@ class PandaManager:
     # -- result marshalling ------------------------------------------------
     def format_result(self, pt: cp.ProjPoint) -> bytes:
         """Project a homogeneous result to the configured output coordinates
-        and serialize to the reference's 3x field-element LE blob."""
+        and serialize to the reference's 3x field-element LE blob
+        (wire-domain Montgomery, canonical)."""
         f = self.curve.fp
         if self.result_coordinate_type == ResultCoordinateType.JACOBIAN:
             x, y, z = cp.to_jacobian(self.curve, pt)
@@ -211,5 +222,5 @@ class PandaManager:
             # of the class produced by the reference's Jacobian->projective
             # conversion (projective.cuh:66-77); see curves/point.py.
             x, y, z = pt
-        to_np = lambda a: np.asarray(mont.canonical(f, a))
+        to_np = lambda a: np.asarray(mont.to_wire(f, a))
         return codec.point3_limbs_to_bytes(f, to_np(x), to_np(y), to_np(z))

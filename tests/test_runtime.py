@@ -23,10 +23,10 @@ def case(rng):
     scalars = [rng.randrange(curve.fr.modulus) for _ in range(N)]
     fp, fr = curve.fp, curve.fr
     bases_blob = b"".join(
-        fp.to_mont_int(x).to_bytes(fp.n_bytes, "little")
-        + fp.to_mont_int(y).to_bytes(fp.n_bytes, "little") for x, y in pts)
+        fp.to_wire_int(x).to_bytes(fp.n_bytes, "little")
+        + fp.to_wire_int(y).to_bytes(fp.n_bytes, "little") for x, y in pts)
     scalars_blob = b"".join(
-        fr.to_mont_int(s).to_bytes(fr.n_bytes, "little") for s in scalars)
+        fr.to_wire_int(s).to_bytes(fr.n_bytes, "little") for s in scalars)
     exp = oracle.msm_oracle(curve, pts, scalars)
     return curve, bases_blob, scalars_blob, exp
 
@@ -35,7 +35,7 @@ def _decode_jacobian(curve, blob):
     fp = curve.fp
     nb = fp.n_bytes
     assert len(blob) == 3 * nb
-    vals = [fp.from_mont_int(int.from_bytes(blob[i * nb:(i + 1) * nb], "little"))
+    vals = [fp.from_wire_int(int.from_bytes(blob[i * nb:(i + 1) * nb], "little"))
             for i in range(3)]
     x, y, z = vals
     p = fp.modulus
@@ -48,7 +48,7 @@ def _decode_jacobian(curve, blob):
 def _decode_projective(curve, blob):
     fp = curve.fp
     nb = fp.n_bytes
-    x, y, z = [fp.from_mont_int(int.from_bytes(blob[i * nb:(i + 1) * nb], "little"))
+    x, y, z = [fp.from_wire_int(int.from_bytes(blob[i * nb:(i + 1) * nb], "little"))
                for i in range(3)]
     p = fp.modulus
     if z == 0:
@@ -103,19 +103,19 @@ def test_ntt_byte_api(rng):
     fr = curve.fr
     log_n = 4
     vals = [rng.randrange(fr.modulus) for _ in range(1 << log_n)]
-    blob = b"".join(fr.to_mont_int(v).to_bytes(fr.n_bytes, "little")
+    blob = b"".join(fr.to_wire_int(v).to_bytes(fr.n_bytes, "little")
                     for v in vals)
     gm = PandaManager.init_all(0, InitUnitType.NTT, curve=curve)
     out = api.ntt(gm, blob, log_n)
     back = api.intt(gm, out, log_n)
     # canonical Montgomery bytes of the originals
-    exp = b"".join((fr.to_mont_int(v) % fr.modulus).to_bytes(fr.n_bytes, "little")
+    exp = b"".join((fr.to_wire_int(v) % fr.modulus).to_bytes(fr.n_bytes, "little")
                    for v in vals)
     assert back == exp
 
     # v1 entry: caller-supplied omega (Montgomery bytes), reference unit.rs:481
     omega = fr.root_of_unity(log_n)
-    omega_blob = fr.to_mont_int(omega).to_bytes(fr.n_bytes, "little")
+    omega_blob = fr.to_wire_int(omega).to_bytes(fr.n_bytes, "little")
     out_v1 = api.ntt_v1(gm, blob, log_n, omega_blob)
     assert out_v1 == out
 
