@@ -1,0 +1,91 @@
+"""Headline benchmark: BN254 Pippenger MSM throughput on the local device.
+
+Prints exactly ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference (JasonHopeSpace/panda) publishes no numbers (BASELINE.md), so
+``vs_baseline`` is the ratio against the recorded first-round figure in
+``BENCH_HISTORY.json`` when present, else 1.0.
+"""
+
+import json
+import os
+import pathlib
+import sys
+import time
+
+import jax
+import numpy as np
+
+# Set directly on the config: a sitecustomize may have imported jax before
+# this script runs, in which case env vars are read too late.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+LOG_N = int(os.environ.get("PANDA_BENCH_LOG_N", "16"))
+REPS = int(os.environ.get("PANDA_BENCH_REPS", "3"))
+HIST = pathlib.Path(__file__).resolve().parent / "BENCH_HISTORY.json"
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from panda_tpu.curves.config import BN254
+    from panda_tpu.fields import codec
+    from panda_tpu.ops import msm as msm_ops
+
+    n = 1 << LOG_N
+    fp, fr = BN254.fp, BN254.fr
+    rng = np.random.default_rng(20260816)
+
+    # Generate n distinct small multiples of G on host (cheap), then random
+    # scalars.  All device inputs are Montgomery limb arrays.
+    from panda_tpu.reference import curve_ref
+    table = []
+    acc = None
+    g = (BN254.gen_x, BN254.gen_y)
+    for _ in range(256):
+        acc = curve_ref.ec_add(BN254, acc, g)
+        table.append(acc)
+    idx = rng.integers(256, size=n)
+    xs = [fp.to_mont_int(table[i][0]) for i in idx]
+    ys = [fp.to_mont_int(table[i][1]) for i in idx]
+    px = jnp.asarray(codec.ints_to_limbs(fp, xs))
+    py = jnp.asarray(codec.ints_to_limbs(fp, ys))
+    sv = [int(x) for x in rng.integers(1 << 62, size=n)]
+    scalars = jnp.asarray(codec.ints_to_limbs(
+        fr, [fr.to_mont_int(v) for v in sv]))
+
+    c = msm_ops.window_bits(LOG_N)
+    fn = msm_ops.msm_jitted(BN254, c)
+    out = fn(px, py, scalars)             # compile + warm-up
+    jax.block_until_ready(tuple(out))
+
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = fn(px, py, scalars)
+        jax.block_until_ready(tuple(out))
+        best = min(best, time.perf_counter() - t0)
+
+    value = n / best                        # points per second
+    vs = 1.0
+    if HIST.exists():
+        try:
+            base = json.loads(HIST.read_text()).get("msm_points_per_s")
+            if base:
+                vs = value / base
+        except Exception:
+            pass
+    print(json.dumps({
+        "metric": f"bn254_msm_2^{LOG_N}_throughput",
+        "value": round(value, 1),
+        "unit": "points/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

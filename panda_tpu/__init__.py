@@ -16,6 +16,7 @@ from .runtime.errors import PandaError, PandaRuntimeError
 from .runtime.manager import (InitUnitType, PandaManager,
                               ResultCoordinateType, device_info,
                               get_device_number)
+from .utils import trace
 
 __version__ = "0.1.0"
 
@@ -27,4 +28,5 @@ __all__ = [
     "PandaError", "PandaRuntimeError",
     "PandaManager", "InitUnitType", "ResultCoordinateType",
     "device_info", "get_device_number",
+    "trace",
 ]

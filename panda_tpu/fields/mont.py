@@ -205,21 +205,31 @@ def mul(spec: FieldSpec, a: FE, b: FE) -> FE:
             f"(2^{(a.vb * b.vb).bit_length()} vs 2^{(spec.r * spec.modulus).bit_length()})")
     L = spec.n_limbs
     av, bv = jnp.broadcast_arrays(a.v, b.v)
-    batch = av.shape[1:]
-    n = _const(spec.p_limbs, len(batch))
+    p_np = spec.p_limbs
     ninv = np.uint32(spec.neg_inv)
 
-    t = jnp.zeros((2 * L + 1,) + batch, dtype=_U32)
+    # Pure column-sum DAG (a Python list of per-column accumulators, never a
+    # stacked tensor with dynamic-update-slice): every op is elementwise, so
+    # XLA fuses the whole multiply into a handful of kernels.  Column bound:
+    # <= 2L terms of < 2^15 plus one 2^17 carry — far below 2^32.
+    t = [None] * (2 * L + 1)
+
+    def acc(k, x):
+        t[k] = x if t[k] is None else t[k] + x
+
     for i in range(L):
-        p = av[i][None] * bv
-        t = t.at[i:i + L].add(p & _MASK)
-        t = t.at[i + 1:i + L + 1].add(p >> LIMB_BITS)
+        ai = av[i][None]
+        prod = ai * bv                      # (L, batch), exact: 16x16 -> 32
+        for j in range(L):
+            acc(i + j, prod[j] & _MASK)
+            acc(i + j + 1, prod[j] >> LIMB_BITS)
     for i in range(L):
         m = (t[i] * ninv) & _MASK
-        p = m[None] * n
-        t = t.at[i:i + L].add(p & _MASK)
-        t = t.at[i + 1:i + L + 1].add(p >> LIMB_BITS)
-        t = t.at[i + 1].add(t[i] >> LIMB_BITS)
+        for j in range(L):
+            pj = m * np.uint32(p_np[j])     # constant limb: scalar multiply
+            acc(i + j, pj & _MASK)
+            acc(i + j + 1, pj >> LIMB_BITS)
+        acc(i + 1, t[i] >> LIMB_BITS)
     out = []
     carry = None
     for j in range(L):

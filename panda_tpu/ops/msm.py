@@ -7,25 +7,30 @@ reference builds per-bucket index arrays with atomicAdd/atomicSub scatters
 impossible on TPU (no atomics, no independent threads).  The TPU
 formulation keeps the same mathematical decomposition (windows of c bits,
 buckets per window, Horner across windows as in ``msm_cuda.cuh:59-77``)
-but computes bucket sums branch-free with sort + chunked segmented
-reduction:
+but is organized around one wide batched scan:
 
 1. scalars: Montgomery -> canonical integers (the reference converts
    scalars out of Montgomery form first, ``msm_cuda.cuh:148-157``);
-2. per window: extract c-bit digits, ``argsort`` points by digit — the
-   sorted array is a concatenation of per-bucket segments;
-3. phase A: a ``lax.scan`` sweeps S sorted elements per lane across M
-   lanes, accumulating runs of equal digits with complete *mixed* adds and
-   emitting a partial sum whenever the digit changes.  This does the N
-   point-add bulk of the work with a single compiled add instance;
-4. the <= 2^c + M emitted partials (still digit-sorted) are compacted by a
-   cumsum scatter and combined with a segmented Hillis-Steele scan; segment
-   ends scatter into the 2^c bucket table (digit 0 discarded);
-5. two suffix scans turn bucket sums into sum(d * B_d) per window;
+2. ALL windows' digits are sorted at once (one batched ``sort_key_val`` —
+   XLA's TPU sort is depth-bound, so the window batch is nearly free);
+3. phase A: one ``lax.scan`` sweeps the sorted streams of every window in
+   parallel — lanes = (window, block) pairs, each lane owning S contiguous
+   sorted elements.  Runs of equal digits accumulate with complete *mixed*
+   adds.  A run's interior endpoint lies in exactly ONE lane's block, so
+   when a lane's digit changes it scatter-SETs its finished run sum
+   straight into the dense per-window bucket table (carried through the
+   scan) — no conflicts, no atomics, no partial-array staging, O(W * 2^c)
+   memory regardless of n;
+4. the per-lane leftover accumulators ("tails", <= 1 per lane, key-sorted
+   by construction) collapse with one short segmented scan and one
+   gather-add-scatter into the same table;
+5. a work-efficient weighted reduction (sum_d d*B_d, ~2 adds per bucket,
+   batched over windows) collapses bucket tables to window sums;
 6. Horner across windows: c doublings + one add per window (``lax.scan``).
 
-Work: ~N mixed adds + O(2^c log 2^c) general adds per window.  Every point
-operation is a complete RCB formula: no lane ever branches.
+Work: ~n mixed adds per window (phase A) + O(2^c) adds per window for the
+bucket reduction.  Every point operation is a complete RCB formula: no
+lane ever branches.
 """
 
 from __future__ import annotations
@@ -46,24 +51,42 @@ from . import reduce as red
 _INIT_KEY = np.uint32(0xFFFFFFFF)   # accumulator "no key yet" sentinel
 
 
-def window_bits(log_n: int) -> int:
-    """Window width policy, mirroring ``msm_cuda.cuh:21-45`` but capped at
-    15 so a digit never spans more than two 15-bit limbs (the reference's
-    c=16 tier becomes 15: 6% more windows, half the bucket-phase work)."""
-    if log_n >= 15:
-        return 15
-    if 13 <= log_n <= 14:
-        return 14
-    return max(log_n, 3)
+def default_lanes(n: int, windows: int = 1) -> int:
+    """Per-window phase-A lane count.
+
+    The scan step is one mixed add over windows*lanes elements; ~16K total
+    elements reaches the throughput-bound regime of the fused limb kernels
+    (measured on v5e: fixed ~0.2 ms per op chain below that).  More lanes
+    would bloat the tail arrays and the scatter index space.
+    """
+    target = max(16384 // max(windows, 1), 128)
+    m = 1 << (target.bit_length() - 1)
+    return max(min(m, n), 1)
 
 
-def default_lanes(n: int) -> int:
-    """Phase-A lane count: wide enough to fill the VPU, small enough that
-    the partial array (2^c + lanes) stays bucket-table sized."""
-    lanes = 1
-    while lanes < 4096 and lanes * lanes < n:
-        lanes *= 2
-    return min(lanes, n)
+def window_bits(log_n: int, bits: int = 254, lanes: int | None = None) -> int:
+    """Window width c minimizing the TPU pipeline's point-op count.
+
+    Same role as the reference's size-tiered policy (``msm_cuda.cuh:21-45``)
+    but tuned to THIS pipeline's cost model: ceil(bits/c) windows, each
+    costing ~n mixed adds (phase A) + ~2*2^c adds (weighted bucket
+    reduction) + ~m*log(m) (tail collapse).  The reference's cost model
+    (atomics + one thread per bucket) would pick larger c; on TPU the
+    bucket tables are dense vector work, pushing the optimum down.  Capped
+    at 15 so a digit never spans more than two 15-bit limbs.
+    """
+    n = 1 << log_n
+    best_c, best_cost = 4, None
+    for c in range(4, 16):
+        windows = -(-bits // c)
+        m = min(lanes or default_lanes(n, windows), n)
+        per_window = (n                                   # phase-A mixed adds
+                      + 2 * (1 << c)                      # weighted reduction
+                      + m * (m.bit_length() + 2))         # tail collapse
+        cost = windows * per_window
+        if best_cost is None or cost < best_cost:
+            best_c, best_cost = c, cost
+    return best_c
 
 
 def extract_digits(fr: FieldSpec, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -90,98 +113,74 @@ def extract_digits(fr: FieldSpec, scalars_std: jnp.ndarray, c: int) -> jnp.ndarr
     return jnp.stack(rows)
 
 
-def _phase_a(curve: CurveSpec, sx, sy, keys, n_buckets: int, lanes: int):
-    """Chunked run-accumulation over digit-sorted points.
-
-    Returns (partial_keys, partial_points) of static length M*(S+1), in
-    global digit order, where dead entries carry key == n_buckets.
-    Real partials number at most n_buckets + M.
+def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int):
+    """Phase A for all windows at once: returns the dense bucket tables
+    ProjPoint arrays (L, W, 2^c - 1) holding B_1..B_{2^c-1} per window.
     """
-    L = sx.shape[0]
-    n = sx.shape[-1]
-    dead = np.uint32(n_buckets)
-    m = min(lanes, n)
+    W, n = digits.shape
+    L = px.shape[0]
+    B = np.uint32(1 << c)               # drop slot; real buckets 0..2^c-1
     steps = -(-n // m)
     pad = steps * m - n
-    if pad:
-        sx = jnp.pad(sx, ((0, 0), (0, pad)))
-        sy = jnp.pad(sy, ((0, 0), (0, pad)))
-        keys = jnp.pad(keys, (0, pad), constant_values=int(dead))
 
-    keys_s = jnp.transpose(keys.reshape(m, steps))            # (S, M)
-    sx_s = jnp.transpose(sx.reshape(L, m, steps), (2, 0, 1))  # (S, L, M)
-    sy_s = jnp.transpose(sy.reshape(L, m, steps), (2, 0, 1))
-    ident = cp.identity(curve, (m,))
+    idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.uint32)[None], (W, n))
+    keys, sidx = jax.lax.sort_key_val(digits.astype(jnp.uint32), idx,
+                                      dimension=1)
+    if pad:
+        keys = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=int(B))
+        sidx = jnp.pad(sidx, ((0, 0), (0, pad)))
+    # Blocked lanes: lane q of window w owns sorted positions
+    # [q*steps, (q+1)*steps); element (w, q, s) -> scan step s, lane (w, q).
+    keys_s = jnp.transpose(keys.reshape(W, m, steps), (2, 0, 1))   # (S, W, m)
+    sidx_s = jnp.transpose(sidx.reshape(W, m, steps), (2, 0, 1))
+
+    rows = jnp.arange(W, dtype=jnp.int32)[:, None]
+    ident_lane = cp.identity(curve, (W, m))
+    table0 = cp.identity(curve, (W, int(B) + 1))
 
     def step(carry, inp):
-        ax, ay, az, akey = carry
-        k, qx, qy = inp
+        ax, ay, az, akey, tx, ty, tz = carry
+        k, oi = inp                                     # (W, m)
         acc = ProjPoint(ax, ay, az)
+        qx = jnp.take(px, oi, axis=1)                   # (L, W, m)
+        qy = jnp.take(py, oi, axis=1)
         same = k == akey
-        base = cp.select(same, acc, ident)
-        # padded lanes carry key==dead and accumulate garbage into the dead
-        # bucket; mixed add is complete in the accumulator so this is safe.
-        nxt = cp.madd(curve, base, AffinePoint(qx, qy))
+        # A finished run's interior endpoint is unique to one lane, so the
+        # emitted sums carry distinct keys: scatter-SET cannot collide
+        # (duplicates only at the drop slot B, whose value is never read).
         emit = jnp.logical_not(same) & (akey != _INIT_KEY)
-        ekey = jnp.where(emit, akey, dead)
-        epoint = cp.select(emit, acc, ident)
-        return (*nxt, k), (ekey, *epoint)
+        ekey = jnp.where(emit, akey, B)
+        epts = cp.select(emit, acc, ident_lane)
+        tx = tx.at[:, rows, ekey].set(epts.x, mode="drop")
+        ty = ty.at[:, rows, ekey].set(epts.y, mode="drop")
+        tz = tz.at[:, rows, ekey].set(epts.z, mode="drop")
+        base = cp.select(same, acc, ident_lane)
+        nxt = cp.madd(curve, base, AffinePoint(qx, qy))
+        return (*nxt, k, tx, ty, tz), None
 
-    init = (*ident, jnp.full((m,), _INIT_KEY))
-    (fx, fy, fz, fkey), (ekeys, ex, ey, ez) = jax.lax.scan(
-        step, init, (keys_s, sx_s, sy_s))
+    init = (*ident_lane, jnp.full((W, m), _INIT_KEY), *table0)
+    (fx, fy, fz, fkey, tx, ty, tz), _ = jax.lax.scan(
+        step, init, (keys_s, sidx_s))
+    table = ProjPoint(tx, ty, tz)
 
-    # Per-lane order [interiors (by step), tail] == global digit order.
-    def lane_major(stepwise, tail):
-        # stepwise: (S, ..., M) -> (..., M, S); tail: (..., M) -> (..., M, 1)
-        sw = jnp.moveaxis(stepwise, 0, -1)
-        return jnp.concatenate([sw, tail[..., None]], axis=-1).reshape(
-            tail.shape[:-1] + (m * (steps + 1),))
+    # Tails: <= 1 per lane, keys non-decreasing along lanes (blocked order).
+    # Collapse equal-key tails with a short segmented scan, then add the
+    # per-key totals into the table (unique keys at segment ends).
+    tails = ProjPoint(fx, fy, fz)
+    starts = jnp.concatenate(
+        [jnp.ones((W, 1), jnp.bool_), fkey[:, 1:] != fkey[:, :-1]], axis=1)
+    scanned = red.segmented_prefix_scan(curve, tails, starts, max_seg=m)
+    ends = jnp.concatenate(
+        [fkey[:, :-1] != fkey[:, 1:], jnp.ones((W, 1), jnp.bool_)], axis=1)
+    tkey = jnp.where(ends & (fkey != _INIT_KEY), fkey, B)
+    cur = ProjPoint(*(t[:, rows, tkey] for t in table))
+    merged = cp.add(curve, cur, scanned)
+    table = ProjPoint(*(t.at[:, rows, tkey].set(s, mode="drop")
+                        for t, s in zip(table, merged)))
 
-    pkeys = lane_major(ekeys, fkey)
-    ppts = ProjPoint(lane_major(ex, fx), lane_major(ey, fy),
-                     lane_major(ez, fz))
-    return pkeys, ppts
-
-
-def _compact_partials(curve: CurveSpec, pkeys, ppts: ProjPoint,
-                      n_buckets: int, lanes: int):
-    """Scatter live partials (key != dead) into a (n_buckets + lanes + 1)
-    array, preserving digit order; padding carries the dead key."""
-    dead = np.uint32(n_buckets)
-    cap = n_buckets + lanes + 1
-    live = pkeys != dead
-    pos = jnp.cumsum(live.astype(jnp.int32)) - 1
-    idx = jnp.where(live, pos, cap)
-    ck = jnp.full((cap,), dead).at[idx].set(pkeys, mode="drop")
-    ident = cp.identity(curve, (cap,))
-    cpts = ProjPoint(*(d.at[:, idx].set(s, mode="drop")
-                       for d, s in zip(ident, ppts)))
-    return ck, cpts
-
-
-def _window_sum(curve: CurveSpec, px, py, digits_w, c: int, lanes: int):
-    """Full bucket pipeline for one window; returns a single point tuple."""
-    n_buckets = 1 << c
-    order = jnp.argsort(digits_w)
-    keys = digits_w[order].astype(jnp.uint32)
-    sx = jnp.take(px, order, axis=1)
-    sy = jnp.take(py, order, axis=1)
-
-    pkeys, ppts = _phase_a(curve, sx, sy, keys, n_buckets, lanes)
-    ck, cpts = _compact_partials(curve, pkeys, ppts, n_buckets,
-                                 min(lanes, px.shape[-1]))
-
-    starts = jnp.concatenate([jnp.ones((1,), jnp.bool_), ck[1:] != ck[:-1]])
-    scanned = red.segmented_prefix_scan(curve, cpts, starts)
-    ends = jnp.concatenate([ck[:-1] != ck[1:], jnp.ones((1,), jnp.bool_)])
-    bidx = jnp.where(ends, ck, np.uint32(n_buckets))
-    ident = cp.identity(curve, (n_buckets + 1,))
-    buckets = ProjPoint(*(d.at[:, bidx].set(s, mode="drop")
-                          for d, s in zip(ident, scanned)))
-    # Drop bucket 0 (digit 0 contributes nothing) and the dead slot.
-    buckets = ProjPoint(*(a[:, 1:n_buckets] for a in buckets))
-    return tuple(red.weighted_window_sum(curve, buckets))
+    # Drop bucket 0 (digit 0 contributes nothing) and the drop slot.
+    return ProjPoint(*(t[:, :, 1:int(B)] for t in table))
 
 
 def window_sums(curve: CurveSpec, px, py, digits, c: int,
@@ -192,10 +191,11 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
     window sums over its slice of points and partials combine with plain
     point addition (see panda_tpu.parallel.msm_sharded).
     """
-    if lanes is None:
-        lanes = default_lanes(px.shape[-1])
-    return ProjPoint(*jax.lax.map(
-        lambda d: _window_sum(curve, px, py, d, c, lanes), digits))
+    W, n = digits.shape
+    m = min(lanes or default_lanes(n, W), n)
+    buckets = _bucket_tables(curve, px, py, digits, c, m)
+    sums = red.weighted_window_sum(curve, buckets)        # (L, W)
+    return ProjPoint(*(jnp.transpose(a) for a in sums))   # (W, L)
 
 
 def horner(curve: CurveSpec, sums: ProjPoint, c: int) -> ProjPoint:

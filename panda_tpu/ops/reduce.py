@@ -31,14 +31,20 @@ def _roll(pts: ProjPoint, shift, axis=-1) -> ProjPoint:
 
 
 def segmented_prefix_scan(curve: CurveSpec, pts: ProjPoint,
-                          seg_start: jnp.ndarray) -> ProjPoint:
+                          seg_start: jnp.ndarray,
+                          max_seg: int | None = None) -> ProjPoint:
     """Inclusive segmented prefix sums along the last axis (Hillis-Steele).
 
     seg_start[i] is True where a new segment begins.  After the scan,
     element i holds the sum of its segment's elements up to and including i.
-    log2(n) iterations, one point-add instance in the compiled body.
+    log2 iterations, one point-add instance in the compiled body.
+
+    ``max_seg``: static upper bound on any segment's length — the scan only
+    needs ceil(log2(max_seg)) doubling levels to cover it, independent of
+    the array length (the MSM pipeline bounds it by its phase-A lane count).
     """
     n = pts.x.shape[-1]
+    span = n if max_seg is None else min(n, max_seg)
     idx = jnp.arange(n, dtype=jnp.int32)
 
     def body(i, state):
@@ -54,7 +60,7 @@ def segmented_prefix_scan(curve: CurveSpec, pts: ProjPoint,
         newf = jnp.where(in_range, f | fsh, f)
         return (*newp, newf)
 
-    out = jax.lax.fori_loop(0, _ceil_log2(n), body,
+    out = jax.lax.fori_loop(0, _ceil_log2(span), body,
                             (*pts, seg_start.astype(jnp.bool_)))
     return ProjPoint(*out[:3])
 
@@ -74,6 +80,23 @@ def suffix_scan(curve: CurveSpec, pts: ProjPoint) -> ProjPoint:
         return tuple(newp)
 
     out = jax.lax.fori_loop(0, _ceil_log2(n), body, tuple(pts))
+    return ProjPoint(*out)
+
+
+def small_total(curve: CurveSpec, pts: ProjPoint) -> ProjPoint:
+    """Sum along the last axis via one log-depth doubling loop (a single
+    point-add instance in the compiled code — unlike ``fold_sum``, which
+    unrolls log2(n) separate instances).  Intended for short axes."""
+    suf = suffix_scan(curve, pts)
+    return ProjPoint(*(a[..., 0] for a in suf))
+
+
+def dbl_pow2(curve: CurveSpec, pt: ProjPoint, log_k: int) -> ProjPoint:
+    """pt * 2^log_k with one doubling instance (fori_loop)."""
+    if log_k == 0:
+        return pt
+    out = jax.lax.fori_loop(
+        0, log_k, lambda _, q: tuple(cp.dbl(curve, ProjPoint(*q))), tuple(pt))
     return ProjPoint(*out)
 
 
@@ -111,10 +134,50 @@ def total_sum(curve: CurveSpec, pts: ProjPoint) -> ProjPoint:
 def weighted_window_sum(curve: CurveSpec, buckets: ProjPoint) -> ProjPoint:
     """sum_{d>=1} d * B_d for buckets indexed 1..D along the last axis.
 
-    buckets holds B_1..B_D.  Two suffix scans: T_d = sum_{e>=d} B_e, then
-    G = sum_d T_d = (suffix scan of T)[0].  Equivalent to the reference's
-    running-sum reduction (``msm_host.cuh:193-213``) in log depth.
+    buckets holds B_1..B_D with arrays (L, *batch, D); returns (L, *batch).
+    Work-efficient analog of the reference's running-sum bucket reduction
+    (``msm_host.cuh:193-213``): ~2 point-adds per bucket (the sequential
+    algorithm's optimum), not the 2*D*log2(D) of a double log-depth suffix
+    scan.  Blocked decomposition d = q*S + (r+1), q = lane, r = step:
+
+        sum_d d*B_d = sum_q [ sum_r (r+1) B_{q,r} ]  +  S * sum_q q*T_q
+
+    with T_q the per-lane plain sums.  One reverse ``lax.scan`` computes
+    both inner terms (run += B; wsum += run) full-lane-width; the small
+    lane-combine reuses the log-depth suffix scan.
     """
-    t = suffix_scan(curve, buckets)
-    u = suffix_scan(curve, t)
-    return ProjPoint(*(a[..., 0] for a in u))
+    d = buckets.x.shape[-1]
+    lead = buckets.x.shape[1:-1]
+    if d == 1:
+        return ProjPoint(*(a[..., 0] for a in buckets))
+
+    log_lanes = _ceil_log2(d) // 2
+    lanes = 1 << log_lanes
+    log_steps = _ceil_log2(d) - log_lanes
+    steps = 1 << log_steps
+    pad = lanes * steps - d
+    if pad:
+        ident = cp.identity(curve, lead + (pad,))
+        buckets = ProjPoint(*(jnp.concatenate([a, b], axis=-1)
+                              for a, b in zip(buckets, ident)))
+    # (L, *lead, lanes, steps) -> scan over steps (leading axis)
+    xs = tuple(jnp.moveaxis(a.reshape(a.shape[:-1] + (lanes, steps)), -1, 0)
+               for a in buckets)
+
+    def body(carry, row):
+        run = cp.add(curve, ProjPoint(*carry[:3]), ProjPoint(*row))
+        wsum = cp.add(curve, ProjPoint(*carry[3:]), run)
+        return (*run, *wsum), None
+
+    ident = tuple(cp.identity(curve, lead + (lanes,)))
+    out, _ = jax.lax.scan(body, (*ident, *ident), xs, reverse=True)
+    t = ProjPoint(*out[:3])        # T_q = sum_r B_{q,r}
+    wsum = ProjPoint(*out[3:])     # sum_r (r+1) B_{q,r}
+
+    total_w = small_total(curve, wsum)
+    if lanes == 1:
+        return total_w
+    # sum_q q*T_q = sum_{q>=1} suffix(T)_q
+    suf = suffix_scan(curve, t)
+    cross = small_total(curve, ProjPoint(*(a[..., 1:] for a in suf)))
+    return cp.add(curve, total_w, dbl_pow2(curve, cross, log_steps))

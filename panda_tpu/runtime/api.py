@@ -28,6 +28,7 @@ from ..curves.config import BLS12_377, BN254
 from ..fields import codec, mont
 from ..ops import msm as msm_ops
 from ..ops import ntt as ntt_ops
+from ..utils import trace
 from .errors import PandaError, PandaRuntimeError
 from .manager import PandaManager
 
@@ -43,20 +44,30 @@ def _msm_run(gm: PandaManager, scalars, bases_xy) -> bytes:
     if scalars.shape[-1] != n:
         raise PandaRuntimeError(PandaError.INVALID_CONFIGURATION,
                                 "scalars/bases length mismatch")
-    c = msm_ops.window_bits(max(n - 1, 1).bit_length())
+    c = msm_ops.window_bits(max(n - 1, 1).bit_length(), bits=curve.fr.bits)
     fn = msm_ops.msm_jitted(curve, c)
-    result = fn(jnp.asarray(px), jnp.asarray(py), jnp.asarray(scalars))
-    return gm.format_result(result)
+    with trace.timer("msm: execute") as _:
+        result = fn(jnp.asarray(px), jnp.asarray(py), jnp.asarray(scalars))
+        jnp.asarray(result.x).block_until_ready()
+    with trace.timer("msm: d2h result"):
+        return gm.format_result(result)
 
 
 def _ingest_scalars(gm: PandaManager, scalars_bytes: bytes):
     fr = gm.curve.fr
-    return mont.from_wire(fr, jnp.asarray(codec.bytes_to_limbs(fr, scalars_bytes)))
+    try:
+        limbs = codec.bytes_to_limbs(fr, scalars_bytes)
+    except ValueError as e:
+        raise PandaRuntimeError(PandaError.INVALID_CONFIGURATION, str(e))
+    return mont.from_wire(fr, jnp.asarray(limbs))
 
 
 def _ingest_bases(gm: PandaManager, bases_bytes: bytes):
     fp = gm.curve.fp
-    x, y = codec.points_bytes_to_limbs(fp, bases_bytes)
+    try:
+        x, y = codec.points_bytes_to_limbs(fp, bases_bytes)
+    except ValueError as e:
+        raise PandaRuntimeError(PandaError.INVALID_CONFIGURATION, str(e))
     return (mont.from_wire(fp, jnp.asarray(x)),
             mont.from_wire(fp, jnp.asarray(y)))
 
@@ -131,14 +142,21 @@ def msm_host(gm: PandaManager, scalars_bytes: bytes, bases_bytes: bytes) -> byte
 def _ntt_run(gm: PandaManager, data: bytes, log_n: int,
              omega_int: Optional[int], inverse: bool) -> bytes:
     fr = gm.curve.fr
-    x = codec.bytes_to_limbs(fr, data)
+    try:
+        x = codec.bytes_to_limbs(fr, data)
+    except ValueError as e:
+        raise PandaRuntimeError(PandaError.INVALID_CONFIGURATION, str(e))
     if x.shape[-1] != (1 << log_n):
         raise PandaRuntimeError(PandaError.INVALID_CONFIGURATION,
                                 f"expected 2^{log_n} elements")
     tables = gm.ntt_tables(log_n, omega_int)
-    xin = mont.from_wire(fr, jnp.asarray(x))
-    y = ntt_ops.run_ntt(fr, xin, tables, inverse=inverse)
-    return codec.limbs_to_bytes(fr, np.asarray(mont.to_wire(fr, y, mult=2)))
+    with trace.timer("ntt: h2d + domain shift"):
+        xin = mont.from_wire(fr, jnp.asarray(x))
+    with trace.timer("ntt: execute"):
+        y = ntt_ops.run_ntt(fr, xin, tables, inverse=inverse)
+        y.block_until_ready()
+    with trace.timer("ntt: d2h result"):
+        return codec.limbs_to_bytes(fr, np.asarray(mont.to_wire(fr, y, mult=2)))
 
 
 def ntt(gm: PandaManager, data: bytes, log_n: int) -> bytes:

@@ -1,6 +1,8 @@
 """Test harness: CPU backend with 8 virtual devices for mesh/sharding tests.
 
-Environment must be set before jax initializes (first import wins).
+Environment must be set before jax initializes backends.  A sitecustomize
+may have force-registered an accelerator platform (and set jax_platforms);
+we override the config back to CPU before any backend initialization.
 """
 
 import os
@@ -8,11 +10,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
-# Persistent compilation cache: EC-add graphs are large; re-runs of the
-# suite should not re-pay XLA compile time.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+import jax
+
+# A sitecustomize may have imported jax already, so env vars are too late —
+# set the config directly.  Persistent compilation cache: EC-add graphs are
+# large; re-runs of the suite should not re-pay XLA compile time.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import random
 

@@ -59,13 +59,12 @@ def test_msm_bn254_k10(rng):
 
 
 def test_window_bits_policy():
-    """Reference policy (``msm_cuda.cuh:21-45``) capped at 15."""
-    assert msm_ops.window_bits(10) == 10
-    assert msm_ops.window_bits(13) == 14
-    assert msm_ops.window_bits(14) == 14
-    assert msm_ops.window_bits(15) == 15
-    assert msm_ops.window_bits(20) == 15
-    assert msm_ops.window_bits(2) == 3
+    """Cost-model window policy: in-range, monotone in problem size."""
+    widths = [msm_ops.window_bits(k) for k in range(2, 25)]
+    assert all(4 <= c <= 15 for c in widths)
+    assert widths == sorted(widths)          # larger n never wants smaller c
+    assert msm_ops.window_bits(24) >= 10     # big sizes use wide windows
+    assert msm_ops.window_bits(4) <= 6       # tiny sizes use narrow windows
 
 
 def test_extract_digits_roundtrip(rng):
