@@ -61,6 +61,34 @@ def _configure(lib):
         ctypes.c_char_p,                   # omega bytes (may be NULL)
         ctypes.c_int,                      # inverse flag
     ]
+    # Session API (the reference's PandaGpuManager analog, wrapper.rs:8-353)
+    lib.panda_get_device_number.restype = ctypes.c_int
+    lib.panda_get_device_number.argtypes = [ctypes.POINTER(ctypes.c_int)]
+    lib.panda_session_create.restype = ctypes.c_void_p
+    lib.panda_session_create.argtypes = [ctypes.c_char_p]
+    lib.panda_session_destroy.restype = None
+    lib.panda_session_destroy.argtypes = [ctypes.c_void_p]
+    lib.panda_session_set_config.restype = ctypes.c_int
+    lib.panda_session_set_config.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.panda_session_cache_bases.restype = ctypes.c_long
+    lib.panda_session_cache_bases.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+    lib.panda_session_cache_scalars.restype = ctypes.c_long
+    lib.panda_session_cache_scalars.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t]
+    lib.panda_session_msm.restype = ctypes.c_int
+    lib.panda_session_msm.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
+    lib.panda_session_msm_cached.restype = ctypes.c_int
+    lib.panda_session_msm_cached.argtypes = [
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p]
+    lib.panda_session_ntt.restype = ctypes.c_int
+    lib.panda_session_ntt.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_uint, ctypes.c_char_p, ctypes.c_int]
 
 
 def available() -> bool:
@@ -92,3 +120,73 @@ def ntt_host(curve, data: bytes, log_n: int, omega: bytes | None = None,
     if rc != 0:
         raise RuntimeError(f"panda_ntt_execute_host failed: {rc}")
     return buf.raw
+
+
+class NativeSession:
+    """ctypes wrapper over the native session C API (the host-pipeline
+    analog of the reference's ``PandaGpuManager``)."""
+
+    def __init__(self, curve):
+        lib = _try_load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._curve = curve
+        self._h = lib.panda_session_create(curve.name.encode())
+        if not self._h:
+            raise RuntimeError(f"unsupported curve {curve.name}")
+
+    def close(self):
+        if self._h:
+            self._lib.panda_session_destroy(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def set_config(self, coord_type: int) -> None:
+        rc = self._lib.panda_session_set_config(self._h, coord_type)
+        if rc:
+            raise RuntimeError(f"set_config failed: {rc}")
+
+    def cache_bases(self, blob: bytes) -> int:
+        idx = self._lib.panda_session_cache_bases(self._h, blob, len(blob))
+        if idx < 0:
+            raise RuntimeError("cache_bases failed")
+        return idx
+
+    def cache_scalars(self, blob: bytes) -> int:
+        idx = self._lib.panda_session_cache_scalars(self._h, blob, len(blob))
+        if idx < 0:
+            raise RuntimeError("cache_scalars failed")
+        return idx
+
+    def msm(self, scalars: bytes | int, bases: bytes | int) -> bytes:
+        """MSM; either argument may be a cache index (int) or fresh bytes."""
+        out = ctypes.create_string_buffer(3 * self._curve.fp.n_bytes)
+        sidx = scalars if isinstance(scalars, int) else -1
+        bidx = bases if isinstance(bases, int) else -1
+        sb = b"" if isinstance(scalars, int) else scalars
+        bb = b"" if isinstance(bases, int) else bases
+        rc = self._lib.panda_session_msm_cached(
+            self._h, sidx, bidx, sb, len(sb), bb, len(bb), out)
+        if rc:
+            raise RuntimeError(f"session msm failed: {rc}")
+        return out.raw
+
+    def ntt(self, data: bytes, log_n: int, omega: bytes | None = None,
+            inverse: bool = False) -> bytes:
+        buf = ctypes.create_string_buffer(data, len(data))
+        rc = self._lib.panda_session_ntt(self._h, buf, len(data), log_n,
+                                         omega, 1 if inverse else 0)
+        if rc:
+            raise RuntimeError(f"session ntt failed: {rc}")
+        return buf.raw
+
+    def device_count(self) -> int:
+        n = ctypes.c_int(0)
+        self._lib.panda_get_device_number(ctypes.byref(n))
+        return n.value

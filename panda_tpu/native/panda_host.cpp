@@ -483,3 +483,105 @@ extern "C" int panda_ntt_execute_host(const char *curve_name,
   for (size_t i = 0; i < n; i++) write_limbs(fr, data + i * fr.bytes(), &x[i * fr.L]);
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Session API — native analog of the reference's manager surface
+// (PandaGpuManager, /root/reference/src/gpu_manager/wrapper.rs:8-353, and
+// the C handles of panda_interface.cuh:18-31).  A session pins a curve,
+// holds cached bases/scalars blobs (wrapper.rs d_bases/d_scalars), and the
+// result-coordinate config (wrapper.rs:212-214).  Thread-compatible: one
+// session per thread, like the reference's manager object.
+// ---------------------------------------------------------------------------
+
+#include <cstring>
+#include <string>
+
+struct panda_session {
+  std::string curve;
+  int coord_type = 0;  // 0 = Jacobian, 1 = Projective
+  std::vector<std::vector<unsigned char>> bases;
+  std::vector<std::vector<unsigned char>> scalars;
+};
+
+extern "C" int panda_get_device_number(int *count) {
+  // Host pipeline: one "device" (the CPU), mirroring panda_interface.cu:11.
+  if (!count) return 1;  // INVALID_VALUE
+  *count = 1;
+  return 0;
+}
+
+extern "C" panda_session *panda_session_create(const char *curve_name) {
+  if (!get_curve(curve_name)) return nullptr;
+  auto *s = new panda_session();
+  s->curve = curve_name;
+  return s;
+}
+
+extern "C" void panda_session_destroy(panda_session *s) { delete s; }
+
+extern "C" int panda_session_set_config(panda_session *s, int coord_type) {
+  if (!s || (coord_type != 0 && coord_type != 1)) return 1;  // INVALID_VALUE
+  s->coord_type = coord_type;
+  return 0;
+}
+
+// Cache a bases blob; returns the cache index (wrapper.rs:154) or -1.
+extern "C" long panda_session_cache_bases(panda_session *s,
+                                          const unsigned char *bases,
+                                          size_t blen) {
+  if (!s) return -1;
+  Curve *cv = get_curve(s->curve.c_str());
+  if (blen == 0 || blen % ((size_t)cv->fp.bytes() * 2)) return -1;
+  s->bases.emplace_back(bases, bases + blen);
+  return (long)(s->bases.size() - 1);
+}
+
+// Cache a scalars blob; returns the cache index (wrapper.rs:171) or -1.
+extern "C" long panda_session_cache_scalars(panda_session *s,
+                                            const unsigned char *scalars,
+                                            size_t slen) {
+  if (!s) return -1;
+  Curve *cv = get_curve(s->curve.c_str());
+  if (slen == 0 || slen % (size_t)cv->fr.bytes()) return -1;
+  s->scalars.emplace_back(scalars, scalars + slen);
+  return (long)(s->scalars.size() - 1);
+}
+
+extern "C" int panda_session_msm(panda_session *s,
+                                 const unsigned char *scalars, size_t slen,
+                                 const unsigned char *bases, size_t blen,
+                                 unsigned char *out) {
+  if (!s) return 8;  // NOT_INITIALIZED
+  return panda_msm_execute_host(s->curve.c_str(), scalars, slen, bases, blen,
+                                out, s->coord_type);
+}
+
+// MSM with cached inputs (unit.rs:103/190/277); pass -1 to use fresh bytes.
+extern "C" int panda_session_msm_cached(panda_session *s,
+                                        long scalars_index, long bases_index,
+                                        const unsigned char *scalars,
+                                        size_t slen,
+                                        const unsigned char *bases,
+                                        size_t blen, unsigned char *out) {
+  if (!s) return 8;
+  if (scalars_index >= 0) {
+    if ((size_t)scalars_index >= s->scalars.size()) return 1;  // INVALID_VALUE
+    scalars = s->scalars[scalars_index].data();
+    slen = s->scalars[scalars_index].size();
+  }
+  if (bases_index >= 0) {
+    if ((size_t)bases_index >= s->bases.size()) return 1;
+    bases = s->bases[bases_index].data();
+    blen = s->bases[bases_index].size();
+  }
+  return panda_msm_execute_host(s->curve.c_str(), scalars, slen, bases, blen,
+                                out, s->coord_type);
+}
+
+extern "C" int panda_session_ntt(panda_session *s, unsigned char *data,
+                                 size_t len, unsigned int log_n,
+                                 const unsigned char *omega, int inverse) {
+  if (!s) return 8;
+  return panda_ntt_execute_host(s->curve.c_str(), data, len, log_n, omega,
+                                inverse);
+}

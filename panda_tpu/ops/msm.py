@@ -116,10 +116,18 @@ def extract_digits(fr: FieldSpec, scalars_std: jnp.ndarray, c: int) -> jnp.ndarr
 def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int):
     """Phase A for all windows at once: returns the dense bucket tables
     ProjPoint arrays (L, W, 2^c - 1) holding B_1..B_{2^c-1} per window.
+
+    Scatter-free by construction: XLA scatter serializes per index on TPU
+    (measured ~25 us/index on v5e), so the pipeline only ever uses sorts,
+    gathers and dense selects.  Run sums emitted by the phase-A scan (at
+    most one live partial per (lane, bucket), plus one tail per lane) are
+    key-sorted so the <= 2^c + m live entries compact to a static-size
+    prefix SLICE; a short segmented scan merges equal keys; the dense
+    table is then a batched binary-search GATHER (the last entry of key b
+    in the inclusive scan is b's total).
     """
     W, n = digits.shape
-    L = px.shape[0]
-    B = np.uint32(1 << c)               # drop slot; real buckets 0..2^c-1
+    B = np.uint32(1 << c)               # dead key; real digits 0..2^c-1
     steps = -(-n // m)
     pad = steps * m - n
 
@@ -135,52 +143,63 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int):
     keys_s = jnp.transpose(keys.reshape(W, m, steps), (2, 0, 1))   # (S, W, m)
     sidx_s = jnp.transpose(sidx.reshape(W, m, steps), (2, 0, 1))
 
-    rows = jnp.arange(W, dtype=jnp.int32)[:, None]
     ident_lane = cp.identity(curve, (W, m))
-    table0 = cp.identity(curve, (W, int(B) + 1))
 
     def step(carry, inp):
-        ax, ay, az, akey, tx, ty, tz = carry
+        ax, ay, az, akey = carry
         k, oi = inp                                     # (W, m)
         acc = ProjPoint(ax, ay, az)
         qx = jnp.take(px, oi, axis=1)                   # (L, W, m)
         qy = jnp.take(py, oi, axis=1)
         same = k == akey
-        # A finished run's interior endpoint is unique to one lane, so the
-        # emitted sums carry distinct keys: scatter-SET cannot collide
-        # (duplicates only at the drop slot B, whose value is never read).
         emit = jnp.logical_not(same) & (akey != _INIT_KEY)
         ekey = jnp.where(emit, akey, B)
         epts = cp.select(emit, acc, ident_lane)
-        tx = tx.at[:, rows, ekey].set(epts.x, mode="drop")
-        ty = ty.at[:, rows, ekey].set(epts.y, mode="drop")
-        tz = tz.at[:, rows, ekey].set(epts.z, mode="drop")
         base = cp.select(same, acc, ident_lane)
         nxt = cp.madd(curve, base, AffinePoint(qx, qy))
-        return (*nxt, k, tx, ty, tz), None
+        return (*nxt, k), (ekey, *epts)
 
-    init = (*ident_lane, jnp.full((W, m), _INIT_KEY), *table0)
-    (fx, fy, fz, fkey, tx, ty, tz), _ = jax.lax.scan(
+    init = (*ident_lane, jnp.full((W, m), _INIT_KEY))
+    (fx, fy, fz, fkey), (ekeys, ex, ey, ez) = jax.lax.scan(
         step, init, (keys_s, sidx_s))
-    table = ProjPoint(tx, ty, tz)
 
-    # Tails: <= 1 per lane, keys non-decreasing along lanes (blocked order).
-    # Collapse equal-key tails with a short segmented scan, then add the
-    # per-key totals into the table (unique keys at segment ends).
-    tails = ProjPoint(fx, fy, fz)
+    # Emission stream in lane-major order (= digit order, dead interspersed),
+    # with the per-lane tail accumulators appended as ordinary partials.
+    def lane_major(stepwise, tail):
+        sw = jnp.moveaxis(stepwise, 0, -1)              # (..., W, m, S)
+        cat = jnp.concatenate([sw, tail[..., None]], axis=-1)
+        return cat.reshape(cat.shape[:-2] + (m * (steps + 1),))
+
+    pkeys = lane_major(ekeys, jnp.where(fkey == _INIT_KEY, B, fkey))
+    ppts = ProjPoint(lane_major(ex, fx), lane_major(ey, fy),
+                     lane_major(ez, fz))
+    P = m * (steps + 1)
+
+    # Key-sort the stream: live partials (<= 2^c interiors + m tails) move
+    # to the front, so a static slice keeps them all and drops the rest.
+    pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.uint32)[None], (W, P))
+    skeys, spos = jax.lax.sort_key_val(pkeys, pos, dimension=1)
+    cap = min(P, (1 << c) + m)
+    skeys = skeys[:, :cap]
+    spos = spos[:, :cap].astype(jnp.int32)
+    spts = ProjPoint(*(jnp.take_along_axis(a, spos[None], axis=-1)
+                       for a in ppts))                  # (L, W, cap)
+
+    # Merge equal-key partials (<= 1 interior + <= m tails per bucket).
     starts = jnp.concatenate(
-        [jnp.ones((W, 1), jnp.bool_), fkey[:, 1:] != fkey[:, :-1]], axis=1)
-    scanned = red.segmented_prefix_scan(curve, tails, starts, max_seg=m)
-    ends = jnp.concatenate(
-        [fkey[:, :-1] != fkey[:, 1:], jnp.ones((W, 1), jnp.bool_)], axis=1)
-    tkey = jnp.where(ends & (fkey != _INIT_KEY), fkey, B)
-    cur = ProjPoint(*(t[:, rows, tkey] for t in table))
-    merged = cp.add(curve, cur, scanned)
-    table = ProjPoint(*(t.at[:, rows, tkey].set(s, mode="drop")
-                        for t, s in zip(table, merged)))
+        [jnp.ones((W, 1), jnp.bool_), skeys[:, 1:] != skeys[:, :-1]], axis=1)
+    scanned = red.segmented_prefix_scan(curve, spts, starts, max_seg=m + 1)
 
-    # Drop bucket 0 (digit 0 contributes nothing) and the drop slot.
-    return ProjPoint(*(t[:, :, 1:int(B)] for t in table))
+    # Dense table via batched binary search: the LAST entry of bucket b in
+    # the inclusive segmented scan holds b's full sum.
+    targets = jnp.arange(1, int(B), dtype=jnp.uint32)   # buckets 1..2^c-1
+    locate = jax.vmap(lambda k: jnp.searchsorted(k, targets, side="right"))
+    bpos = jnp.clip(locate(skeys) - 1, 0, cap - 1).astype(jnp.int32)  # (W, D)
+    found = jnp.take_along_axis(skeys, bpos, axis=-1) == targets[None]
+    picked = ProjPoint(*(jnp.take_along_axis(a, bpos[None], axis=-1)
+                         for a in scanned))             # (L, W, D)
+    ident = cp.identity(curve, (W, int(B) - 1))
+    return cp.select(found, picked, ident)
 
 
 def window_sums(curve: CurveSpec, px, py, digits, c: int,
@@ -196,6 +215,55 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
     buckets = _bucket_tables(curve, px, py, digits, c, m)
     sums = red.weighted_window_sum(curve, buckets)        # (L, W)
     return ProjPoint(*(jnp.transpose(a) for a in sums))   # (W, L)
+
+
+def window_sums_fn(curve: CurveSpec, c: int, scalars_in_mont: bool = True):
+    """(px, py, scalars) -> window-sum arrays (W, L) x3 — the device part
+    of the byte-API MSM (the Horner tail runs on host, as in the reference:
+    ``msm_cuda.cuh:738-743`` copies the window sums to host and combines
+    there)."""
+
+    def fn(px, py, scalars):
+        fr = curve.fr
+        s_std = mont.from_mont(fr, scalars) if scalars_in_mont else scalars
+        digits = extract_digits(fr, s_std, c)
+        return tuple(window_sums(curve, px, py, digits, c))
+
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def window_sums_jitted(curve: CurveSpec, c: int, scalars_in_mont: bool = True):
+    return jax.jit(window_sums_fn(curve, c, scalars_in_mont))
+
+
+def host_horner(curve: CurveSpec, sums_np, c: int):
+    """Horner over host-side window sums (``msm_cuda.cuh:59-77`` — the
+    reference also runs this phase on the host).
+
+    sums_np: three numpy (W, L) internal-Montgomery limb arrays
+    (homogeneous projective).  Returns the affine result as plain ints
+    (x, y) or None for the identity.  ~bits doublings of a single point are
+    pure latency on an accelerator; in host big-int arithmetic they are
+    microseconds.
+    """
+    from ..fields.config import limbs_to_int
+    from ..reference import curve_ref
+    p = curve.fp.modulus
+    rinv = pow(curve.fp.r, -1, p)
+    xs, ys, zs = (np.asarray(a) for a in sums_np)
+    acc = None
+    for w in reversed(range(xs.shape[0])):
+        for _ in range(c):
+            acc = curve_ref.ec_add(curve, acc, acc)
+        z = limbs_to_int(zs[w]) * rinv % p
+        if z == 0:
+            continue
+        zi = pow(z, -1, p)
+        gx = limbs_to_int(xs[w]) * rinv % p * zi % p
+        gy = limbs_to_int(ys[w]) * rinv % p * zi % p
+        acc = curve_ref.ec_add(curve, acc, (gx, gy))
+    return acc
 
 
 def horner(curve: CurveSpec, sums: ProjPoint, c: int) -> ProjPoint:

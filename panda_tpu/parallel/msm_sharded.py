@@ -47,26 +47,39 @@ def msm_sharded_fn(curve: CurveSpec, mesh: Mesh, axis: str, c: int):
     """Build a shard_map'd MSM over ``mesh`` with points sharded on ``axis``.
 
     Returned fn takes (px, py, scalars) with last axis sharded over ``axis``
-    and returns a replicated single ProjPoint (L,) triple.
+    and returns the replicated per-window sums as (W, L) array triple —
+    the Horner tail runs on host (``msm_ops.host_horner``), exactly like
+    the reference's device->host hand-off (``msm_cuda.cuh:738-743``).
     """
 
     def local(px, py, scalars):
         sums = _local_window_sums(curve, px, py, scalars, c, axis)
-        return tuple(msm_ops.horner(curve, sums, c))
+        return tuple(sums)
 
     shard = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(None, axis), P(None, axis), P(None, axis)),
-        out_specs=(P(None), P(None), P(None)),
+        out_specs=(P(None, None), P(None, None), P(None, None)),
         check_vma=False,
     )
-    return lambda px, py, scalars: ProjPoint(*shard(px, py, scalars))
+    return shard
 
 
 @functools.lru_cache(maxsize=16)
 def msm_sharded_jitted(curve: CurveSpec, mesh: Mesh, axis: str, c: int):
     fn = msm_sharded_fn(curve, mesh, axis, c)
     return jax.jit(fn)
+
+
+def msm_sharded(curve: CurveSpec, mesh: Mesh, axis: str, c: int,
+                px, py, scalars):
+    """Full sharded MSM: device window sums + host Horner.
+
+    Returns the affine result as plain ints (x, y), or None (identity).
+    """
+    import numpy as np
+    sums = msm_sharded_jitted(curve, mesh, axis, c)(px, py, scalars)
+    return msm_ops.host_horner(curve, [np.asarray(a) for a in sums], c)
 
 
 def shard_inputs(mesh: Mesh, axis: str, *arrays):

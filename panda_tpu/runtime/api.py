@@ -45,12 +45,13 @@ def _msm_run(gm: PandaManager, scalars, bases_xy) -> bytes:
         raise PandaRuntimeError(PandaError.INVALID_CONFIGURATION,
                                 "scalars/bases length mismatch")
     c = msm_ops.window_bits(max(n - 1, 1).bit_length(), bits=curve.fr.bits)
-    fn = msm_ops.msm_jitted(curve, c)
-    with trace.timer("msm: execute") as _:
-        result = fn(jnp.asarray(px), jnp.asarray(py), jnp.asarray(scalars))
-        jnp.asarray(result.x).block_until_ready()
-    with trace.timer("msm: d2h result"):
-        return gm.format_result(result)
+    fn = msm_ops.window_sums_jitted(curve, c)
+    with trace.timer("msm: window sums (device)"):
+        sums = fn(jnp.asarray(px), jnp.asarray(py), jnp.asarray(scalars))
+        sums = [np.asarray(a) for a in sums]            # d2h: W tiny points
+    with trace.timer("msm: horner (host)"):
+        acc = msm_ops.host_horner(curve, sums, c)
+    return gm.format_affine_result(acc)
 
 
 def _ingest_scalars(gm: PandaManager, scalars_bytes: bytes):

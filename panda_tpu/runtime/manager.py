@@ -210,6 +210,21 @@ class PandaManager:
     destroy = deinit
 
     # -- result marshalling ------------------------------------------------
+    def format_affine_result(self, pt) -> bytes:
+        """Serialize a host-side affine int point ((x, y) or None) to the
+        reference's 3-field LE blob (wire-domain Montgomery).  With z = 1
+        the Jacobian and Projective encodings coincide; the identity
+        serializes as (0, 1, 0) in both."""
+        f = self.curve.fp
+        if pt is None:
+            x, y, z = 0, 1, 0
+        else:
+            (x, y), z = pt, 1
+        blob = b""
+        for v in (x, y, z):
+            blob += f.to_wire_int(v).to_bytes(f.n_bytes, "little")
+        return blob
+
     def format_result(self, pt: cp.ProjPoint) -> bytes:
         """Project a homogeneous result to the configured output coordinates
         and serialize to the reference's 3x field-element LE blob

@@ -38,11 +38,8 @@ def test_msm_sharded_matches_local(mesh, rng):
     local = jax.jit(lambda a, b, d: msm_ops.msm(curve, a, b, d, c=c))(px, py, s)
     exp = proj_to_oracle(curve, cp.ProjPoint(*(a[:, None] for a in local)))[0]
 
-    fn = msm_sharded.msm_sharded_jitted(curve, mesh, "d", c)
     spx, spy, ss = msm_sharded.shard_inputs(mesh, "d", px, py, s)
-    got_pt = fn(spx, spy, ss)
-    got = proj_to_oracle(curve, cp.ProjPoint(*(np.asarray(a)[:, None]
-                                               for a in got_pt)))[0]
+    got = msm_sharded.msm_sharded(curve, mesh, "d", c, spx, spy, ss)
     assert got == exp == oracle.msm_oracle(curve, pts, scalars)
 
 
