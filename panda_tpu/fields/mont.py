@@ -205,31 +205,43 @@ def mul(spec: FieldSpec, a: FE, b: FE) -> FE:
             f"(2^{(a.vb * b.vb).bit_length()} vs 2^{(spec.r * spec.modulus).bit_length()})")
     L = spec.n_limbs
     av, bv = jnp.broadcast_arrays(a.v, b.v)
+    batch = av.shape[1:]
+    nb = len(batch)
     p_np = spec.p_limbs
     ninv = np.uint32(spec.neg_inv)
 
-    # Pure column-sum DAG (a Python list of per-column accumulators, never a
-    # stacked tensor with dynamic-update-slice): every op is elementwise, so
-    # XLA fuses the whole multiply into a handful of kernels.  Column bound:
-    # <= 2L terms of < 2^15 plus one 2^17 carry — far below 2^32.
-    t = [None] * (2 * L + 1)
+    # Tensorized schoolbook product: ONE (L, L, *batch) multiply, then
+    # anti-diagonal column sums t_k = sum_{i+j=k} lo/hi terms via per-row
+    # zero-padding and a single axis-0 reduction.  This keeps the traced
+    # graph ~10 ops instead of ~4*L^2 scalar-shaped ops — XLA compile time
+    # on these field-heavy graphs is driven by HLO op COUNT, not FLOPs
+    # (measured 833 s -> tens of s for a full MSM variant).  Column bound:
+    # <= L lo terms (< 2^15) + L hi terms (< 2^17) < 2^22 per uint32 cell.
+    prod = av[:, None] * bv[None]           # (L, L, *batch), exact 16x16->32
+    lo = prod & _MASK
+    hi = prod >> LIMB_BITS
+    pad_cfg = [(0, 0)] * (nb + 2)
 
-    def acc(k, x):
-        t[k] = x if t[k] is None else t[k] + x
+    def _skew(rows, off):
+        # rows: (L, L, *batch); row i shifts to columns [i+off, i+off+L).
+        shifted = [jnp.pad(rows[i], [(i + off, L - i + 1 - off)]
+                           + pad_cfg[2:]) for i in range(L)]
+        return sum(shifted)                 # (2L+1, *batch)
 
-    for i in range(L):
-        ai = av[i][None]
-        prod = ai * bv                      # (L, batch), exact: 16x16 -> 32
-        for j in range(L):
-            acc(i + j, prod[j] & _MASK)
-            acc(i + j + 1, prod[j] >> LIMB_BITS)
+    t = _skew(lo, 0) + _skew(hi, 1)         # columns 0..2L
+
+    # Interleaved Montgomery reduction: inherently sequential in i (m_i
+    # depends on the running t_i), but each step is a handful of (L,)-wide
+    # vector ops updated in place via static-index slice updates.
     for i in range(L):
         m = (t[i] * ninv) & _MASK
-        for j in range(L):
-            pj = m * np.uint32(p_np[j])     # constant limb: scalar multiply
-            acc(i + j, pj & _MASK)
-            acc(i + j + 1, pj >> LIMB_BITS)
-        acc(i + 1, t[i] >> LIMB_BITS)
+        pj = m[None] * jnp.asarray(p_np.astype(np.uint32)).reshape(
+            (L,) + (1,) * nb)               # (L, *batch)
+        upd = (pj & _MASK).astype(jnp.uint32)
+        upd = upd.at[1:].add(pj[:-1] >> LIMB_BITS)  # fold hi into next col
+        upd = jnp.concatenate([upd, (pj[-1:] >> LIMB_BITS)], axis=0)
+        t = t.at[i:i + L + 1].add(upd)
+        t = t.at[i + 1].add(t[i] >> LIMB_BITS)
     out = []
     carry = None
     for j in range(L):

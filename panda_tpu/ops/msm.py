@@ -64,24 +64,34 @@ def default_lanes(n: int, windows: int = 1) -> int:
     return max(min(m, n), 1)
 
 
+def signed_window_count(bits: int, c: int) -> int:
+    """Windows needed for signed-digit recoding: the top window must have
+    at least one headroom bit so the incoming carry cannot overflow."""
+    w = -(-bits // c)
+    if w * c < bits + 1:
+        w += 1
+    return w
+
+
 def window_bits(log_n: int, bits: int = 254, lanes: int | None = None) -> int:
     """Window width c minimizing the TPU pipeline's point-op count.
 
     Same role as the reference's size-tiered policy (``msm_cuda.cuh:21-45``)
-    but tuned to THIS pipeline's cost model: ceil(bits/c) windows, each
-    costing ~n mixed adds (phase A) + ~2*2^c adds (weighted bucket
-    reduction) + ~m*log(m) (tail collapse).  The reference's cost model
-    (atomics + one thread per bucket) would pick larger c; on TPU the
-    bucket tables are dense vector work, pushing the optimum down.  Capped
-    at 15 so a digit never spans more than two 15-bit limbs.
+    but tuned to THIS pipeline's cost model: signed-digit windows (bucket
+    range halved to 2^(c-1)), each costing ~n mixed adds (phase A) +
+    ~2*2^(c-1) adds (weighted bucket reduction) + ~m*log(m) (tail
+    collapse).  The reference's cost model (atomics + one thread per
+    bucket) would pick larger c; on TPU the bucket tables are dense vector
+    work, pushing the optimum down.  Capped at 16 so a digit never spans
+    more than two 15-bit limbs.
     """
     n = 1 << log_n
     best_c, best_cost = 4, None
-    for c in range(4, 16):
-        windows = -(-bits // c)
+    for c in range(4, 17):
+        windows = signed_window_count(bits, c)
         m = min(lanes or default_lanes(n, windows), n)
         per_window = (n                                   # phase-A mixed adds
-                      + 2 * (1 << c)                      # weighted reduction
+                      + (1 << c)                          # weighted reduction
                       + m * (m.bit_length() + 2))         # tail collapse
         cost = windows * per_window
         if best_cost is None or cost < best_cost:
@@ -113,9 +123,49 @@ def extract_digits(fr: FieldSpec, scalars_std: jnp.ndarray, c: int) -> jnp.ndarr
     return jnp.stack(rows)
 
 
-def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int):
+def extract_signed_digits(fr: FieldSpec, scalars_std: jnp.ndarray, c: int):
+    """Signed windowed recoding: digits in [-2^(c-1), 2^(c-1)].
+
+    Returns ``(mag, neg)``: magnitudes (W, N) uint32 in [0, 2^(c-1)] and
+    sign flags (W, N) bool.  Negative digits borrow one from the next
+    window (carry-save recoding), halving the bucket range per window —
+    bucket d holds both +d and -d contributions, the latter entering as
+    the negated point.  W = ``signed_window_count(bits, c)``: the top
+    window keeps a headroom bit so the final carry is absorbed.
+    """
+    if not 1 <= c <= 16:
+        raise ValueError("window width must be in [1, 16]")
+    L = fr.n_limbs
+    W = signed_window_count(fr.bits, c)
+    mask = np.uint32((1 << c) - 1)
+    half = np.uint32(1 << (c - 1))
+    full = np.uint32(1 << c)
+    mags, negs = [], []
+    carry = None
+    for w in range(W):
+        lo = w * c
+        i, sh = divmod(lo, 15)
+        if i >= L:
+            d = jnp.zeros_like(scalars_std[0])
+        else:
+            d = scalars_std[i] >> np.uint32(sh)
+            if sh + c > 15 and i + 1 < L:
+                d = d | (scalars_std[i + 1] << np.uint32(15 - sh))
+        d = d & mask
+        e = d if carry is None else d + carry
+        neg = e > half
+        mags.append(jnp.where(neg, full - e, e))
+        negs.append(neg)
+        carry = neg.astype(jnp.uint32)
+    return jnp.stack(mags), jnp.stack(negs)
+
+
+def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
+                   signs=None):
     """Phase A for all windows at once: returns the dense bucket tables
-    ProjPoint arrays (L, W, 2^c - 1) holding B_1..B_{2^c-1} per window.
+    ProjPoint arrays (L, W, D) holding B_1..B_D per window, where
+    D = 2^(c-1) with signed digits (``signs`` given; negative digits enter
+    as the negated point, halving the bucket range) or 2^c - 1 without.
 
     Scatter-free by construction: XLA scatter serializes per index on TPU
     (measured ~25 us/index on v5e), so the pipeline only ever uses sorts,
@@ -127,12 +177,16 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int):
     in the inclusive scan is b's total).
     """
     W, n = digits.shape
-    B = np.uint32(1 << c)               # dead key; real digits 0..2^c-1
+    D = (1 << (c - 1)) if signs is not None else (1 << c) - 1
+    B = np.uint32(D + 1)                # dead key; real digits 0..D
     steps = -(-n // m)
     pad = steps * m - n
 
     idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.uint32)[None], (W, n))
+    if signs is not None:
+        # Sign rides in bit 31 of the index through the sort/gather.
+        idx = idx | (signs.astype(jnp.uint32) << np.uint32(31))
     keys, sidx = jax.lax.sort_key_val(digits.astype(jnp.uint32), idx,
                                       dimension=1)
     if pad:
@@ -149,8 +203,13 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int):
         ax, ay, az, akey = carry
         k, oi = inp                                     # (W, m)
         acc = ProjPoint(ax, ay, az)
+        if signs is not None:
+            sgn = (oi >> np.uint32(31)).astype(jnp.bool_)
+            oi = oi & np.uint32(0x7FFFFFFF)
         qx = jnp.take(px, oi, axis=1)                   # (L, W, m)
         qy = jnp.take(py, oi, axis=1)
+        if signs is not None:
+            qy = mont.select(sgn, mont.neg_mod(curve.fp, qy), qy)
         same = k == akey
         emit = jnp.logical_not(same) & (akey != _INIT_KEY)
         ekey = jnp.where(emit, akey, B)
@@ -179,7 +238,7 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int):
     # to the front, so a static slice keeps them all and drops the rest.
     pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.uint32)[None], (W, P))
     skeys, spos = jax.lax.sort_key_val(pkeys, pos, dimension=1)
-    cap = min(P, (1 << c) + m)
+    cap = min(P, D + 1 + m)
     skeys = skeys[:, :cap]
     spos = spos[:, :cap].astype(jnp.int32)
     spts = ProjPoint(*(jnp.take_along_axis(a, spos[None], axis=-1)
@@ -192,29 +251,74 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int):
 
     # Dense table via batched binary search: the LAST entry of bucket b in
     # the inclusive segmented scan holds b's full sum.
-    targets = jnp.arange(1, int(B), dtype=jnp.uint32)   # buckets 1..2^c-1
+    targets = jnp.arange(1, D + 1, dtype=jnp.uint32)    # buckets 1..D
     locate = jax.vmap(lambda k: jnp.searchsorted(k, targets, side="right"))
     bpos = jnp.clip(locate(skeys) - 1, 0, cap - 1).astype(jnp.int32)  # (W, D)
     found = jnp.take_along_axis(skeys, bpos, axis=-1) == targets[None]
     picked = ProjPoint(*(jnp.take_along_axis(a, bpos[None], axis=-1)
                          for a in scanned))             # (L, W, D)
-    ident = cp.identity(curve, (W, int(B) - 1))
+    ident = cp.identity(curve, (W, D))
     return cp.select(found, picked, ident)
 
 
+# Upper bound on W_g * n elements staged by one phase-A pass.  The emission
+# stream holds ~3 coordinates x L limbs x W_g*(n+m) entries (~204 B/point
+# for BN254); 2^23 elements ~ 1.7 GB peak — safe headroom in 16 GB HBM for
+# the sort buffers and bucket tables alongside.
+_PHASE_A_BUDGET = 1 << 23
+
+
+def _window_group_size(n: int, W: int) -> int:
+    g = max(_PHASE_A_BUDGET // max(n, 1), 1)
+    return min(g, W)
+
+
 def window_sums(curve: CurveSpec, px, py, digits, c: int,
-                lanes: int | None = None) -> ProjPoint:
+                lanes: int | None = None, signs=None) -> ProjPoint:
     """Per-window partial sums G_w.  digits: (W, N).  Returns (W, L) stacks.
 
     This is the unit that distributed MSM shards: each device computes
     window sums over its slice of points and partials combine with plain
     point addition (see panda_tpu.parallel.msm_sharded).
+
+    Large problems are processed in groups of windows (``lax.scan`` over
+    groups, one compiled phase-A body): peak memory is bounded by
+    ``_PHASE_A_BUDGET`` staged elements regardless of total size, the
+    large-k analog of the reference processing all windows in one kernel
+    launch sequence (``msm_cuda.cuh:604-610`` allocates the full
+    groups_num*msm_size index arena up front — unworkable at k >= 20 on a
+    16 GB chip).
     """
     W, n = digits.shape
-    m = min(lanes or default_lanes(n, W), n)
-    buckets = _bucket_tables(curve, px, py, digits, c, m)
-    sums = red.weighted_window_sum(curve, buckets)        # (L, W)
-    return ProjPoint(*(jnp.transpose(a) for a in sums))   # (W, L)
+    wg = _window_group_size(n, W)
+    if wg >= W:
+        m = min(lanes or default_lanes(n, W), n)
+        buckets = _bucket_tables(curve, px, py, digits, c, m, signs=signs)
+        sums = red.weighted_window_sum(curve, buckets)        # (L, W)
+        return ProjPoint(*(jnp.transpose(a) for a in sums))   # (W, L)
+
+    groups = -(-W // wg)
+    pad = groups * wg - W
+    if pad:
+        # Padded windows get digit 0 everywhere -> identity sums.
+        digits = jnp.pad(digits, ((0, pad), (0, 0)))
+        if signs is not None:
+            signs = jnp.pad(signs, ((0, pad), (0, 0)))
+    dg = digits.reshape(groups, wg, n)
+    sg = (signs.reshape(groups, wg, n) if signs is not None
+          else jnp.zeros((groups, wg, n), jnp.bool_))
+    m = min(lanes or default_lanes(n, wg), n)
+
+    def body(_, inp):
+        d, s = inp
+        buckets = _bucket_tables(curve, px, py, d, c, m,
+                                 signs=s if signs is not None else None)
+        return None, tuple(red.weighted_window_sum(curve, buckets))
+
+    _, out = jax.lax.scan(body, None, (dg, sg))               # (G, L, wg) x3
+    return ProjPoint(*(
+        jnp.moveaxis(a, 0, 1).reshape(a.shape[1], groups * wg)
+        .transpose()[:W] for a in out))                       # (W, L)
 
 
 def window_sums_fn(curve: CurveSpec, c: int, scalars_in_mont: bool = True):
@@ -226,8 +330,8 @@ def window_sums_fn(curve: CurveSpec, c: int, scalars_in_mont: bool = True):
     def fn(px, py, scalars):
         fr = curve.fr
         s_std = mont.from_mont(fr, scalars) if scalars_in_mont else scalars
-        digits = extract_digits(fr, s_std, c)
-        return tuple(window_sums(curve, px, py, digits, c))
+        mags, negs = extract_signed_digits(fr, s_std, c)
+        return tuple(window_sums(curve, px, py, mags, c, signs=negs))
 
     return fn
 
@@ -293,8 +397,8 @@ def msm(curve: CurveSpec, px, py, scalars, c: int | None = None,
         c = window_bits(max(n - 1, 1).bit_length())
     fr = curve.fr
     s_std = mont.from_mont(fr, scalars) if scalars_in_mont else scalars
-    digits = extract_digits(fr, s_std, c)
-    sums = window_sums(curve, px, py, digits, c, lanes)
+    mags, negs = extract_signed_digits(fr, s_std, c)
+    sums = window_sums(curve, px, py, mags, c, lanes, signs=negs)
     return horner(curve, sums, c)
 
 

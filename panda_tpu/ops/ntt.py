@@ -102,10 +102,13 @@ def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, w_pows: jnp.ndarray,
         xr = x.reshape((L,) + batch + (g, 2, m))
         u = mont.FE(xr[..., 0, :], 1 << 15, vb)
         v = mont.FE(xr[..., 1, :], 1 << 15, vb)
-        tw = w_pows[:, 0:n // 2:g]                      # (L, m)
-        tw = mont.FE(tw.reshape((L,) + (1,) * nb + (1, m)),
-                     1 << 15, 2 * spec.modulus)
-        t = mont.mul(spec, v, tw)
+        if s == 0:
+            t = v            # stage-0 twiddle is w^0 = 1: no multiply
+        else:
+            tw = w_pows[:, 0:n // 2:g]                  # (L, m)
+            tw = mont.FE(tw.reshape((L,) + (1,) * nb + (1, m)),
+                         1 << 15, 2 * spec.modulus)
+            t = mont.mul(spec, v, tw)
         hi = mont.norm(spec, mont.add(spec, u, t))
         lo = mont.norm(spec, mont.sub(spec, u, t))
         vb = max(hi.vb, lo.vb)

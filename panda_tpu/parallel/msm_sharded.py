@@ -33,8 +33,8 @@ def _local_window_sums(curve: CurveSpec, px, py, scalars_mont, c: int,
     """Per-device window sums, then cross-device combine. Returns (W, L) stacks."""
     fr = curve.fr
     s_std = mont.from_mont(fr, scalars_mont)
-    digits = msm_ops.extract_digits(fr, s_std, c)
-    sums = msm_ops.window_sums(curve, px, py, digits, c)   # arrays (W, L)
+    mags, negs = msm_ops.extract_signed_digits(fr, s_std, c)
+    sums = msm_ops.window_sums(curve, px, py, mags, c, signs=negs)  # (W, L)
     # all_gather the tiny partials: (D, W, L) per coordinate.
     gathered = [jax.lax.all_gather(a, axis) for a in sums]
     # -> ProjPoint with batch (W, D), limbs leading; fold over D.

@@ -15,8 +15,16 @@ import jax
 # A sitecustomize may have imported jax already, so env vars are too late —
 # set the config directly.  Persistent compilation cache: EC-add graphs are
 # large; re-runs of the suite should not re-pay XLA compile time.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+#
+# PANDA_TEST_PLATFORM=axon runs the single-device tests on the attached TPU
+# (whose compiles are remote and much faster than this host's single core);
+# the default stays the deterministic 8-virtual-device CPU backend, which
+# the mesh/sharding tests require.
+_platform = os.environ.get("PANDA_TEST_PLATFORM", "cpu")
+jax.config.update("jax_platforms", _platform)
+jax.config.update("jax_compilation_cache_dir",
+                  "/tmp/jax_compile_cache" if _platform == "cpu"
+                  else "/tmp/jax_cc_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

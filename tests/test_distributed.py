@@ -23,7 +23,9 @@ from tests.conftest import (from_mont_limbs, points_to_device, proj_to_oracle,
 @pytest.fixture(scope="module")
 def mesh():
     devs = np.array(jax.devices())
-    assert devs.size >= 8, "conftest must provide 8 virtual devices"
+    if devs.size < 8:
+        pytest.skip("needs the 8-virtual-device CPU backend "
+                    "(PANDA_TEST_PLATFORM=cpu)")
     return Mesh(devs[:8], axis_names=("d",))
 
 

@@ -61,7 +61,7 @@ def test_msm_bn254_k10(rng):
 def test_window_bits_policy():
     """Cost-model window policy: in-range, monotone in problem size."""
     widths = [msm_ops.window_bits(k) for k in range(2, 25)]
-    assert all(4 <= c <= 15 for c in widths)
+    assert all(4 <= c <= 16 for c in widths)
     assert widths == sorted(widths)          # larger n never wants smaller c
     assert msm_ops.window_bits(24) >= 10     # big sizes use wide windows
     assert msm_ops.window_bits(4) <= 6       # tiny sizes use narrow windows
@@ -78,6 +78,28 @@ def test_extract_digits_roundtrip(rng):
             for j in range(16):
                 recon[j] += int(digits[w, j]) << (w * c)
         assert recon == vals, f"c={c}"
+
+
+def test_extract_signed_digits_roundtrip(rng):
+    """sum_w (+-mag_w) * 2^(w*c) reconstructs the scalar; mags <= 2^(c-1)."""
+    fr = BN254.fr
+    vals = [rng.randrange(fr.modulus) for _ in range(16)]
+    s = jnp.asarray(codec.ints_to_limbs(fr, vals))
+    for c in (3, 8, 13, 16):
+        mags, negs = (np.asarray(a)
+                      for a in msm_ops.extract_signed_digits(fr, s, c))
+        assert mags.shape[0] == msm_ops.signed_window_count(fr.bits, c)
+        assert mags.max() <= 1 << (c - 1)
+        for j in range(16):
+            recon = sum((-int(m) if g else int(m)) << (w * c)
+                        for w, (m, g) in enumerate(zip(mags[:, j], negs[:, j])))
+            assert recon == vals[j], f"c={c}"
+
+
+def test_msm_window_grouping(rng, monkeypatch):
+    """The window-grouped (large-k memory-bounded) path is bit-identical."""
+    monkeypatch.setattr(msm_ops, "_PHASE_A_BUDGET", 64)  # force tiny groups
+    _run_case(BN254, rng, 24, c=7)
 
 
 def test_window_sums_match_oracle(rng):
