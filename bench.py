@@ -59,13 +59,23 @@ def main():
         fr, [fr.to_mont_int(v) for v in sv]))
 
     c = msm_ops.window_bits(LOG_N)
-    fn = msm_ops.window_sums_jitted(BN254, c)
+    ws = msm_ops.window_sums_fn(BN254, c)
+    # One stacked output -> one device->host fetch; the ~bits sequential
+    # doublings of the Horner tail are host work (microseconds in big-int,
+    # pure latency on an accelerator), exactly like the reference's split
+    # (msm_cuda.cuh:738-743).
+    fn = jax.jit(lambda a, b, s: jnp.stack(ws(a, b, s)))
 
     def run():
-        sums = [np.asarray(a) for a in fn(px, py, scalars)]
-        return msm_ops.host_horner(BN254, sums, c)
+        sums = np.asarray(fn(px, py, scalars))           # (3, W, L)
+        return msm_ops.host_horner(BN254, list(sums), c)
 
-    run()                                  # compile + warm-up
+    res = run()                            # compile + warm-up
+
+    # Guard: the timed artifact must be the correct MSM result.
+    if os.environ.get("PANDA_BENCH_CHECK", "1") == "1":
+        exp = curve_ref.msm_oracle(BN254, [table[i] for i in idx], sv)
+        assert res == exp, "bench result != oracle"
 
     best = float("inf")
     for _ in range(REPS):

@@ -192,24 +192,29 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
     if pad:
         keys = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=int(B))
         sidx = jnp.pad(sidx, ((0, 0), (0, pad)))
+    # Gather the sorted point stream ONCE (one big fused gather + one
+    # negation pass beats per-step gathers inside the scan).
+    oi = sidx & np.uint32(0x7FFFFFFF)
+    qx_all = jnp.take(px, oi, axis=1)                   # (L, W, m*steps)
+    qy_all = jnp.take(py, oi, axis=1)
+    if signs is not None:
+        sgn = (sidx >> np.uint32(31)).astype(jnp.bool_)
+        qy_all = mont.select(sgn, mont.neg_mod(curve.fp, qy_all), qy_all)
     # Blocked lanes: lane q of window w owns sorted positions
     # [q*steps, (q+1)*steps); element (w, q, s) -> scan step s, lane (w, q).
     keys_s = jnp.transpose(keys.reshape(W, m, steps), (2, 0, 1))   # (S, W, m)
-    sidx_s = jnp.transpose(sidx.reshape(W, m, steps), (2, 0, 1))
+
+    def coord_s(a):   # (L, W, m*steps) -> (S, L, W, m)
+        return jnp.transpose(a.reshape(a.shape[0], W, m, steps), (3, 0, 1, 2))
+
+    qx_s, qy_s = coord_s(qx_all), coord_s(qy_all)
 
     ident_lane = cp.identity(curve, (W, m))
 
     def step(carry, inp):
         ax, ay, az, akey = carry
-        k, oi = inp                                     # (W, m)
+        k, qx, qy = inp                                 # (W, m) / (L, W, m)
         acc = ProjPoint(ax, ay, az)
-        if signs is not None:
-            sgn = (oi >> np.uint32(31)).astype(jnp.bool_)
-            oi = oi & np.uint32(0x7FFFFFFF)
-        qx = jnp.take(px, oi, axis=1)                   # (L, W, m)
-        qy = jnp.take(py, oi, axis=1)
-        if signs is not None:
-            qy = mont.select(sgn, mont.neg_mod(curve.fp, qy), qy)
         same = k == akey
         emit = jnp.logical_not(same) & (akey != _INIT_KEY)
         ekey = jnp.where(emit, akey, B)
@@ -220,34 +225,59 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
 
     init = (*ident_lane, jnp.full((W, m), _INIT_KEY))
     (fx, fy, fz, fkey), (ekeys, ex, ey, ez) = jax.lax.scan(
-        step, init, (keys_s, sidx_s))
+        step, init, (keys_s, qx_s, qy_s))
 
-    # Emission stream in lane-major order (= digit order, dead interspersed),
-    # with the per-lane tail accumulators appended as ordinary partials.
-    def lane_major(stepwise, tail):
+    # A bucket's sorted run occupies ONE contiguous range, so exactly one
+    # lane sees its end inside the block: interior emissions are UNIQUE per
+    # key.  Lanes whose block ends mid-run contribute through their tail
+    # accumulator instead.  Processing the two streams separately keeps the
+    # expensive segmented merge down to the (W, m) tails plus ONE level
+    # over the merged compact streams (each key appears <= twice there:
+    # one interior total + one tail total).
+    def lane_major(stepwise):
         sw = jnp.moveaxis(stepwise, 0, -1)              # (..., W, m, S)
-        cat = jnp.concatenate([sw, tail[..., None]], axis=-1)
-        return cat.reshape(cat.shape[:-2] + (m * (steps + 1),))
+        return sw.reshape(sw.shape[:-2] + (m * steps,))
 
-    pkeys = lane_major(ekeys, jnp.where(fkey == _INIT_KEY, B, fkey))
-    ppts = ProjPoint(lane_major(ex, fx), lane_major(ey, fy),
-                     lane_major(ez, fz))
-    P = m * (steps + 1)
+    P = m * steps
+    pkeys = lane_major(ekeys)
+    ppts = ProjPoint(lane_major(ex), lane_major(ey), lane_major(ez))
 
-    # Key-sort the stream: live partials (<= 2^c interiors + m tails) move
-    # to the front, so a static slice keeps them all and drops the rest.
+    # Interior emissions: sort, compact to the <= D+1 live entries.
     pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.uint32)[None], (W, P))
-    skeys, spos = jax.lax.sort_key_val(pkeys, pos, dimension=1)
-    cap = min(P, D + 1 + m)
+    ikeys, ipos = jax.lax.sort_key_val(pkeys, pos, dimension=1)
+    cap_i = min(P, D + 1)
+    ikeys = ikeys[:, :cap_i]
+    ipos = ipos[:, :cap_i].astype(jnp.int32)
+    ipts = ProjPoint(*(jnp.take_along_axis(a, ipos[None], axis=-1)
+                       for a in ppts))                  # (L, W, cap_i)
+
+    # Tails: nondecreasing keys by construction (lane q's tail key is the
+    # last key of its sorted block).  Merge equal-key runs with a small
+    # segmented scan, keep only each run's last (= total) entry.
+    tkeys = jnp.where(fkey == _INIT_KEY, B, fkey)       # (W, m)
+    tpts = ProjPoint(fx, fy, fz)
+    tstarts = jnp.concatenate(
+        [jnp.ones((W, 1), jnp.bool_), tkeys[:, 1:] != tkeys[:, :-1]], axis=1)
+    tsum = red.segmented_prefix_scan(curve, tpts, tstarts, max_seg=m)
+    is_last = jnp.concatenate(
+        [tkeys[:, :-1] != tkeys[:, 1:], jnp.ones((W, 1), jnp.bool_)], axis=1)
+    tkeys = jnp.where(is_last, tkeys, B)
+
+    # Merge the two compact per-key-unique streams; each key <= 2 entries.
+    mkeys = jnp.concatenate([ikeys, tkeys], axis=1)     # (W, cap_i + m)
+    mpts = ProjPoint(*(jnp.concatenate([a, b], axis=-1)
+                       for a, b in zip(ipts, tsum)))
+    Pm = cap_i + m
+    mpos = jnp.broadcast_to(jnp.arange(Pm, dtype=jnp.uint32)[None], (W, Pm))
+    skeys, spos = jax.lax.sort_key_val(mkeys, mpos, dimension=1)
+    cap = min(Pm, 2 * (D + 1))
     skeys = skeys[:, :cap]
     spos = spos[:, :cap].astype(jnp.int32)
     spts = ProjPoint(*(jnp.take_along_axis(a, spos[None], axis=-1)
-                       for a in ppts))                  # (L, W, cap)
-
-    # Merge equal-key partials (<= 1 interior + <= m tails per bucket).
+                       for a in mpts))                  # (L, W, cap)
     starts = jnp.concatenate(
         [jnp.ones((W, 1), jnp.bool_), skeys[:, 1:] != skeys[:, :-1]], axis=1)
-    scanned = red.segmented_prefix_scan(curve, spts, starts, max_seg=m + 1)
+    scanned = red.segmented_prefix_scan(curve, spts, starts, max_seg=2)
 
     # Dense table via batched binary search: the LAST entry of bucket b in
     # the inclusive segmented scan holds b's full sum.
@@ -261,11 +291,11 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
     return cp.select(found, picked, ident)
 
 
-# Upper bound on W_g * n elements staged by one phase-A pass.  The emission
-# stream holds ~3 coordinates x L limbs x W_g*(n+m) entries (~204 B/point
-# for BN254); 2^23 elements ~ 1.7 GB peak — safe headroom in 16 GB HBM for
-# the sort buffers and bucket tables alongside.
-_PHASE_A_BUDGET = 1 << 23
+# Upper bound on W_g * n elements staged by one phase-A pass.  One pass
+# stages the pre-gathered sorted point stream (2 coords) plus the emission
+# stream (3 coords), ~340 B/element for BN254; 2^22 elements ~ 1.4 GB peak
+# — safe headroom in 16 GB HBM for sort buffers and bucket tables.
+_PHASE_A_BUDGET = 1 << 22
 
 
 def _window_group_size(n: int, W: int) -> int:

@@ -151,7 +151,14 @@ def weighted_window_sum(curve: CurveSpec, buckets: ProjPoint) -> ProjPoint:
     if d == 1:
         return ProjPoint(*(a[..., 0] for a in buckets))
 
-    log_lanes = _ceil_log2(d) // 2
+    # Lane split: wide enough that each scan step saturates the VPU
+    # (batch*lanes ~ 4-8K elements), narrow enough that the log-depth
+    # cross-lane suffix pass stays a small fraction of the 2 adds/bucket
+    # main scan.
+    batch = int(np.prod(lead)) if lead else 1
+    target = max(8192 // max(batch, 1), 1)
+    log_lanes = min(max(target.bit_length() - 1, 0), _ceil_log2(d) // 2 + 3,
+                    _ceil_log2(d))
     lanes = 1 << log_lanes
     log_steps = _ceil_log2(d) - log_lanes
     steps = 1 << log_steps
