@@ -35,6 +35,39 @@ from .config import CurveSpec
 # Static value-bound class of stored point coordinates (x 8p conservative).
 _COORD_MULT = 8
 
+# Batch size at which the fused Pallas kernels win over the XLA formula
+# expansion (kernel call overhead + layout transposes amortize).
+_KERNEL_MIN_BATCH = 2048
+
+
+def _batch_size(shape) -> int:
+    n = 1
+    for d in shape[1:]:
+        n *= d
+    return n
+
+
+def _use_kernels(shape) -> bool:
+    import os
+    if os.environ.get("PANDA_PALLAS", "1") != "1":
+        return False
+    if _batch_size(shape) < _KERNEL_MIN_BATCH:
+        return False
+    try:
+        import jax
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _via_kernel(kernel_fn, curve, arrays):
+    """Flatten batch dims, run the point kernel, restore shapes."""
+    shape = arrays[0].shape
+    L = shape[0]
+    flat = [jnp.reshape(a, (L, -1)) for a in arrays]
+    out = kernel_fn(curve, flat)
+    return tuple(jnp.reshape(a, shape) for a in out)
+
 
 class ProjPoint(NamedTuple):
     """Homogeneous projective point; limb arrays (L, *batch)."""
@@ -91,7 +124,15 @@ def add(curve: CurveSpec, p: ProjPoint, q: ProjPoint) -> ProjPoint:
     """Complete projective addition (RCB Algorithm 7, a = 0): 12M + 2*b3.
 
     Valid for ALL inputs including identity, P == Q and P == -Q.
+
+    Large batches on TPU run as one fused Pallas kernel (bit-identical op
+    sequence; see ops/kernel_field.py).
     """
+    if _use_kernels(p.x.shape):
+        from ..ops import point_pallas
+        return ProjPoint(*_via_kernel(
+            lambda c, flat: point_pallas.padd(c, flat[:3], flat[3:]),
+            curve, [*p, *q]))
     f = curve.fp
     M = lambda a, b: mont.mul(f, a, b)
     A = lambda a, b: mont.add(f, a, b)
@@ -122,6 +163,11 @@ def madd(curve: CurveSpec, p: ProjPoint, q: AffinePoint) -> ProjPoint:
     Complete in P (identity included); Q must be a genuine affine point.
     Replaces the reference's branchy madd-2007-bl (``projective.cuh:259``).
     """
+    if _use_kernels(p.x.shape):
+        from ..ops import point_pallas
+        return ProjPoint(*_via_kernel(
+            lambda c, flat: point_pallas.pmadd(c, flat[:3], flat[3:]),
+            curve, [*p, *q]))
     f = curve.fp
     M = lambda a, b: mont.mul(f, a, b)
     A = lambda a, b: mont.add(f, a, b)
@@ -147,6 +193,11 @@ def madd(curve: CurveSpec, p: ProjPoint, q: AffinePoint) -> ProjPoint:
 
 def dbl(curve: CurveSpec, p: ProjPoint) -> ProjPoint:
     """Complete doubling (RCB Algorithm 9, a = 0): 6M + 2S + 1*b3."""
+    if _use_kernels(p.x.shape):
+        from ..ops import point_pallas
+        return ProjPoint(*_via_kernel(
+            lambda c, flat: point_pallas.pdbl(c, flat),
+            curve, [*p]))
     f = curve.fp
     M = lambda a, b: mont.mul(f, a, b)
     A = lambda a, b: mont.add(f, a, b)

@@ -1,0 +1,282 @@
+"""Limb-list field/point arithmetic for Pallas TPU kernels.
+
+Inside a Pallas kernel every value is a register/VMEM tile, so the natural
+representation of a field element is a python LIST of (8, 128) uint32
+tiles, one per 15-bit limb, with straight-line column-sum code — Mosaic
+compiles the whole DAG into one fused kernel with no XLA op-count penalty
+(the reason fields/mont.py needed the tensorized rewrite does not apply
+here).  The bounds discipline (static lb/vb tracked at trace time) is
+identical to fields/mont.py; the point formulas are the same complete
+Renes-Costello-Batina algorithms as curves/point.py (reference contract:
+``/root/reference/src/cuda/core/field/field.cuh:139-247`` and
+``projective.cuh:163-314``, branch-free).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.config import CurveSpec
+from ..fields.config import LIMB_BITS, LIMB_MASK, FieldSpec
+
+_MASK = np.uint32(LIMB_MASK)
+
+# ---------------------------------------------------------------------------
+# Limb-list field arithmetic with the same static bounds discipline as
+# fields/mont.py.  A value is `LF(limbs, lb, vb)`: `limbs` a python list of
+# (8, 128) uint32 tiles, `lb`/`vb` exclusive limb/value bounds tracked at
+# trace time (identical semantics to mont.FE — violations fail the trace).
+# ---------------------------------------------------------------------------
+
+
+class LF:
+    __slots__ = ("v", "lb", "vb")
+
+    def __init__(self, v, lb: int, vb: int):
+        self.v = v
+        self.lb = lb
+        self.vb = vb
+
+
+def _norm(spec: FieldSpec, a: LF) -> LF:
+    if a.lb <= (1 << LIMB_BITS):
+        return a
+    if a.vb > spec.r:
+        raise OverflowError(f"{spec.name}: norm with vb >= R")
+    out, carry = [], None
+    for v in a.v:
+        s = v if carry is None else v + carry
+        out.append(s & _MASK)
+        carry = s >> LIMB_BITS
+    return LF(out, 1 << LIMB_BITS, a.vb)
+
+
+def _need16(spec: FieldSpec, a: LF) -> LF:
+    return a if a.lb <= (1 << 16) else _norm(spec, a)
+
+
+def _add(spec: FieldSpec, a: LF, b: LF) -> LF:
+    lb = a.lb + b.lb
+    if lb > (1 << 30):
+        a, b = _norm(spec, a), _norm(spec, b)
+        lb = a.lb + b.lb
+    vb = a.vb + b.vb
+    if vb > spec.r // 4:
+        raise OverflowError(f"{spec.name}: add value bound overflow")
+    return LF([x + y for x, y in zip(a.v, b.v)], lb, vb)
+
+
+@functools.lru_cache(maxsize=None)
+def _sub_const(spec: FieldSpec, lb: int, vb: int):
+    """Multiple of p dominating any element of class (lb, < vb); same
+    construction as mont._sub_const."""
+    m = np.zeros(spec.n_limbs, dtype=np.uint64)
+    for i in range(spec.n_limbs):
+        m[i] = min(lb - 1, vb >> (LIMB_BITS * i))
+    m_val = sum(int(x) << (LIMB_BITS * i) for i, x in enumerate(m))
+    k = -(-m_val // spec.modulus)
+    c_val = k * spec.modulus
+    delta = c_val - m_val
+    c = m.copy()
+    for i in range(spec.n_limbs):
+        c[i] += (delta >> (LIMB_BITS * i)) & LIMB_MASK
+    assert all(int(c[i]) >= int(m[i]) for i in range(spec.n_limbs))
+    assert c.max() < (1 << 31)
+    return tuple(int(x) for x in c), c_val
+
+
+def _sub(spec: FieldSpec, a: LF, b: LF) -> LF:
+    if b.lb > (1 << 30):
+        b = _norm(spec, b)
+    c, c_val = _sub_const(spec, b.lb, b.vb)
+    lb = a.lb + max(c) + 1
+    vb = a.vb + c_val
+    if lb > (1 << 31) or vb > spec.r // 4:
+        a = _norm(spec, a)
+        lb = a.lb + max(c) + 1
+        if vb > spec.r // 4:
+            raise OverflowError(f"{spec.name}: sub value bound overflow")
+    return LF([x + np.uint32(ci) - y
+               for x, y, ci in zip(a.v, b.v, c)], lb, vb)
+
+
+def _mul(spec: FieldSpec, a: LF, b: LF) -> LF:
+    """Montgomery product; output limbs < 2^15, value < 2p.  Column-sum
+    DAG with interleaved reduction — inside the kernel every accumulator
+    is a register/VMEM tile, so op count carries no fusion penalty."""
+    a = _need16(spec, a)
+    b = _need16(spec, b)
+    if a.vb * b.vb > spec.r * spec.modulus:
+        raise OverflowError(f"{spec.name}: montmul bound overflow")
+    L = spec.n_limbs
+    p_np = spec.p_limbs
+    ninv = np.uint32(spec.neg_inv)
+    t = [None] * (2 * L + 1)
+
+    def acc(k, x):
+        t[k] = x if t[k] is None else t[k] + x
+
+    for i in range(L):
+        for j in range(L):
+            prod = a.v[i] * b.v[j]
+            acc(i + j, prod & _MASK)
+            acc(i + j + 1, prod >> LIMB_BITS)
+    for i in range(L):
+        mm = (t[i] * ninv) & _MASK
+        for j in range(L):
+            pj = mm * np.uint32(p_np[j])
+            acc(i + j, pj & _MASK)
+            acc(i + j + 1, pj >> LIMB_BITS)
+        acc(i + 1, t[i] >> LIMB_BITS)
+    out, carry = [], None
+    for j in range(L):
+        v = t[L + j] if carry is None else t[L + j] + carry
+        out.append(v & _MASK)
+        carry = v >> LIMB_BITS
+    return LF(out, 1 << LIMB_BITS, 2 * spec.modulus)
+
+
+def _mul_small(spec: FieldSpec, a: LF, k: int) -> LF:
+    acc = None
+    for bit in bin(k)[2:]:
+        if acc is not None:
+            acc = _add(spec, acc, acc)
+        if bit == "1":
+            acc = a if acc is None else _add(spec, acc, a)
+    return acc
+
+
+def _select(mask, a, b):
+    return [jnp.where(mask, x, y) for x, y in zip(a, b)]
+
+
+# Stored point coordinates: normalized limbs, value < 8p (the class
+# curves/point.py maintains).
+_COORD_MULT = 8
+
+
+def _madd(curve: CurveSpec, px, py, pz, qx, qy):
+    """Complete mixed addition (RCB Algorithm 8, a = 0) on limb lists.
+
+    Same op sequence and bound flow as ``curves/point.py::madd`` (which
+    itself mirrors the contract of the reference's madd-2007-bl,
+    ``projective.cuh:259``, minus the branches).  p*: limb lists of the
+    8p coordinate class; q*: limb lists of the 2p affine class.
+    Returns normalized limb lists, value < 8p.
+    """
+    f = curve.fp
+    wrap8 = lambda v: LF(v, 1 << LIMB_BITS, _COORD_MULT * f.modulus)
+    x1, y1, z1 = wrap8(px), wrap8(py), wrap8(pz)
+    # Same conservative 8p class as curves/point.py::madd so the two paths
+    # stay BIT-identical (the lb/vb class picks the sub constants).
+    x2, y2 = wrap8(qx), wrap8(qy)
+    M = lambda a, b: _mul(f, a, b)
+    A = lambda a, b: _add(f, a, b)
+    S = lambda a, b: _sub(f, a, b)
+    mb3 = lambda t: (_mul_small(f, t, curve.b3) if curve.b3 <= 32 else
+                     _mul(f, t, LF([jnp.full((8, 128), np.uint32(v))
+                                    for v in curve.b3_mont_limbs],
+                                   1 << LIMB_BITS, 2 * f.modulus)))
+
+    t0 = M(x1, x2)
+    t1 = M(y1, y2)
+    t3 = S(M(A(x1, y1), A(x2, y2)), A(t0, t1))     # X1Y2 + X2Y1
+    t4 = A(M(y2, z1), y1)                          # Y1 + Y2Z1
+    t5 = A(M(x2, z1), x1)                          # X1 + X2Z1
+    t0 = A(A(t0, t0), t0)                          # 3 X1X2
+    t2 = mb3(z1)                                   # b3 Z1
+    z3 = A(t1, t2)
+    t1 = S(t1, t2)
+    t5 = mb3(t5)
+    x3 = S(M(t3, t1), M(t4, t5))
+    y3 = A(M(t1, z3), M(t5, t0))
+    z3 = A(M(z3, t4), M(t0, t3))
+    out = []
+    for v in (x3, y3, z3):
+        v = _norm(f, v)
+        assert v.vb <= _COORD_MULT * f.modulus, "coordinate class overflow"
+        out.append(v.v)
+    return out[0], out[1], out[2]
+
+
+
+
+def _padd(curve: CurveSpec, px, py, pz, qx, qy, qz):
+    """Complete projective addition (RCB Algorithm 7, a = 0) on limb lists.
+
+    Same op sequence and bound flow as ``curves/point.py::add``.  Both
+    operands in the 8p coordinate class; outputs normalized, value < 8p.
+    """
+    f = curve.fp
+    wrap8 = lambda v: LF(v, 1 << LIMB_BITS, _COORD_MULT * f.modulus)
+    x1, y1, z1 = wrap8(px), wrap8(py), wrap8(pz)
+    x2, y2, z2 = wrap8(qx), wrap8(qy), wrap8(qz)
+    M = lambda a, b: _mul(f, a, b)
+    A = lambda a, b: _add(f, a, b)
+    S = lambda a, b: _sub(f, a, b)
+    mb3 = lambda t: (_mul_small(f, t, curve.b3) if curve.b3 <= 32 else
+                     _mul(f, t, LF([jnp.full(t.v[0].shape, np.uint32(v))
+                                    for v in curve.b3_mont_limbs],
+                                   1 << LIMB_BITS, 2 * f.modulus)))
+
+    t0 = M(x1, x2)
+    t1 = M(y1, y2)
+    t2 = M(z1, z2)
+    t3 = S(M(A(x1, y1), A(x2, y2)), A(t0, t1))     # X1Y2 + X2Y1
+    t4 = S(M(A(y1, z1), A(y2, z2)), A(t1, t2))     # Y1Z2 + Y2Z1
+    t5 = S(M(A(x1, z1), A(x2, z2)), A(t0, t2))     # X1Z2 + X2Z1
+    t0 = A(A(t0, t0), t0)                          # 3 X1X2
+    t2 = mb3(t2)                                   # b3 Z1Z2
+    z3 = A(t1, t2)
+    t1 = S(t1, t2)
+    t5 = mb3(t5)
+    x3 = S(M(t3, t1), M(t4, t5))
+    y3 = A(M(t1, z3), M(t5, t0))
+    z3 = A(M(z3, t4), M(t0, t3))
+    out = []
+    for v in (x3, y3, z3):
+        v = _norm(f, v)
+        assert v.vb <= _COORD_MULT * f.modulus, "coordinate class overflow"
+        out.append(v.v)
+    return out[0], out[1], out[2]
+
+
+def _pdbl(curve: CurveSpec, px, py, pz):
+    """Complete doubling (RCB Algorithm 9, a = 0) on limb lists.
+
+    Same op sequence as ``curves/point.py::dbl``; 8p class in/out."""
+    f = curve.fp
+    wrap8 = lambda v: LF(v, 1 << LIMB_BITS, _COORD_MULT * f.modulus)
+    x, y, z = wrap8(px), wrap8(py), wrap8(pz)
+    M = lambda a, b: _mul(f, a, b)
+    A = lambda a, b: _add(f, a, b)
+    S = lambda a, b: _sub(f, a, b)
+    mb3 = lambda t: (_mul_small(f, t, curve.b3) if curve.b3 <= 32 else
+                     _mul(f, t, LF([jnp.full(t.v[0].shape, np.uint32(v))
+                                    for v in curve.b3_mont_limbs],
+                                   1 << LIMB_BITS, 2 * f.modulus)))
+
+    t0 = M(y, y)
+    z3 = A(A(t0, t0), A(t0, t0))
+    z3 = A(z3, z3)                                 # 8 Y^2
+    t1 = M(y, z)
+    t2 = mb3(M(z, z))                              # b3 Z^2
+    x3 = M(t2, z3)
+    y3 = A(t0, t2)
+    z3 = M(t1, z3)
+    t1 = A(t2, t2)
+    t2 = A(t1, t2)                                 # 3 b3 Z^2
+    t0 = S(t0, t2)
+    y3 = A(x3, M(t0, y3))
+    t1 = M(x, y)
+    x3 = M(t0, t1)
+    x3 = A(x3, x3)
+    out = []
+    for v in (x3, y3, z3):
+        v = _norm(f, v)
+        assert v.vb <= _COORD_MULT * f.modulus, "coordinate class overflow"
+        out.append(v.v)
+    return out[0], out[1], out[2]

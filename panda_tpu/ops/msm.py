@@ -51,6 +51,22 @@ from . import reduce as red
 _INIT_KEY = np.uint32(0xFFFFFFFF)   # accumulator "no key yet" sentinel
 
 
+def _use_phase_a_kernel(W: int, m: int) -> bool:
+    """Run phase A as the fused Pallas kernel when on TPU hardware.
+
+    PANDA_PALLAS=0 forces the lax.scan path (and is the implicit default
+    off-TPU, where the kernel would need the slow interpreter)."""
+    import os
+    if os.environ.get("PANDA_PALLAS", "1") != "1":
+        return False
+    if (W * m) % 1024 != 0:
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def default_lanes(n: int, windows: int = 1) -> int:
     """Per-window phase-A lane count.
 
@@ -209,23 +225,29 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
 
     qx_s, qy_s = coord_s(qx_all), coord_s(qy_all)
 
-    ident_lane = cp.identity(curve, (W, m))
+    if _use_phase_a_kernel(W, m):
+        from . import phase_a_pallas
+        (ekeys, ex, ey, ez, tkeys0, fx, fy, fz) = phase_a_pallas.phase_a_scan(
+            curve, keys_s, qx_s, qy_s, int(B))
+        fkey = jnp.where(tkeys0 == B, _INIT_KEY, tkeys0)
+    else:
+        ident_lane = cp.identity(curve, (W, m))
 
-    def step(carry, inp):
-        ax, ay, az, akey = carry
-        k, qx, qy = inp                                 # (W, m) / (L, W, m)
-        acc = ProjPoint(ax, ay, az)
-        same = k == akey
-        emit = jnp.logical_not(same) & (akey != _INIT_KEY)
-        ekey = jnp.where(emit, akey, B)
-        epts = cp.select(emit, acc, ident_lane)
-        base = cp.select(same, acc, ident_lane)
-        nxt = cp.madd(curve, base, AffinePoint(qx, qy))
-        return (*nxt, k), (ekey, *epts)
+        def step(carry, inp):
+            ax, ay, az, akey = carry
+            k, qx, qy = inp                             # (W, m) / (L, W, m)
+            acc = ProjPoint(ax, ay, az)
+            same = k == akey
+            emit = jnp.logical_not(same) & (akey != _INIT_KEY)
+            ekey = jnp.where(emit, akey, B)
+            epts = cp.select(emit, acc, ident_lane)
+            base = cp.select(same, acc, ident_lane)
+            nxt = cp.madd(curve, base, AffinePoint(qx, qy))
+            return (*nxt, k), (ekey, *epts)
 
-    init = (*ident_lane, jnp.full((W, m), _INIT_KEY))
-    (fx, fy, fz, fkey), (ekeys, ex, ey, ez) = jax.lax.scan(
-        step, init, (keys_s, qx_s, qy_s))
+        init = (*ident_lane, jnp.full((W, m), _INIT_KEY))
+        (fx, fy, fz, fkey), (ekeys, ex, ey, ez) = jax.lax.scan(
+            step, init, (keys_s, qx_s, qy_s))
 
     # A bucket's sorted run occupies ONE contiguous range, so exactly one
     # lane sees its end inside the block: interior emissions are UNIQUE per

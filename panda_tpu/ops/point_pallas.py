@@ -1,0 +1,94 @@
+"""Generic batched point-operation Pallas kernels.
+
+Drop-in replacements for ``curves/point.py``'s add/madd/dbl on large
+batches: one fused kernel per call instead of the hundreds of small XLA
+kernels the complete RCB formulas otherwise expand into (measured ~25x on
+the phase-A madd scan, see ops/phase_a_pallas.py).  Used by the point
+reduction primitives in ops/reduce.py on the TPU path.
+
+Layout: coordinates are uint32[L, N] limb arrays; N is padded to the
+(8, 128) lane tile and the batch streams through a 1-D grid.  Padding
+lanes carry zeros — every formula maps all-zero inputs to all-zero
+outputs with no uint32 overflow, and callers slice the pad off.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..curves.config import CurveSpec
+from . import kernel_field as kf
+
+_TILE = 1024  # 8 sublanes x 128 lanes
+
+
+def _to_tiles(a, T):
+    # (L, N) -> (T, L, 8, 128)
+    L = a.shape[0]
+    return jnp.transpose(a.reshape(L, T, 8, 128), (1, 0, 2, 3))
+
+
+def _from_tiles(a, n):
+    # (T, L, 8, 128) -> (L, n)
+    L = a.shape[1]
+    return jnp.transpose(a, (1, 0, 2, 3)).reshape(L, -1)[:, :n]
+
+
+def _pad(a, P):
+    n = a.shape[-1]
+    return a if n == P else jnp.pad(a, ((0, 0), (0, P - n)))
+
+
+def _run(curve: CurveSpec, body, arrays, n_out: int = 3,
+         interpret: bool = False):
+    """Stream uint32[L, N] coordinate arrays through an elementwise point
+    kernel.  ``body(curve, *limb_lists) -> n_out limb lists``."""
+    L = curve.fp.n_limbs
+    n = arrays[0].shape[-1]
+    T = -(-n // _TILE)
+    P = T * _TILE
+    tiled = [_to_tiles(_pad(a, P), T) for a in arrays]
+
+    spec = pl.BlockSpec((1, L, 8, 128), lambda t: (t, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        ins = refs[:len(arrays)]
+        outs = refs[len(arrays):]
+        vals = [[r[0, i] for i in range(L)] for r in ins]
+        res = body(curve, *vals)
+        for out_ref, coord in zip(outs, res):
+            for i in range(L):
+                out_ref[0, i] = coord[i]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[spec] * len(arrays),
+        out_specs=tuple([spec] * n_out),
+        out_shape=tuple([jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32)]
+                        * n_out),
+        interpret=interpret,
+    )(*tiled)
+    return tuple(_from_tiles(a, n) for a in out)
+
+
+def padd(curve: CurveSpec, p, q, interpret: bool = False):
+    """Complete projective add on (L, N) coordinate triples."""
+    return _run(curve, kf._padd, [*p, *q], interpret=interpret)
+
+
+def pmadd(curve: CurveSpec, p, q_affine, interpret: bool = False):
+    """Complete mixed add: p projective triple, q affine pair."""
+    return _run(curve, kf._madd, [*p, *q_affine], interpret=interpret)
+
+
+def pdbl(curve: CurveSpec, p, interpret: bool = False):
+    """Complete doubling on an (L, N) coordinate triple."""
+    return _run(curve, kf._pdbl, [*p], interpret=interpret)
