@@ -32,6 +32,21 @@ from ..fields import mont
 from ..fields.config import FieldSpec, int_to_limbs
 
 
+def _use_fmul(batch_elems: int) -> bool:
+    """Route stage twiddle multiplies through the fused Pallas kernel on
+    TPU for large transforms (PANDA_PALLAS=0 opts out)."""
+    import os
+    if os.environ.get("PANDA_PALLAS", "1") != "1":
+        return False
+    if batch_elems < 4096:
+        return False
+    try:
+        import jax as _jax
+        return _jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 class NttTables(NamedTuple):
     """Device-resident per-(field, log_n) tables (reference: ``fft.cu:63-73``)."""
     log_n: int
@@ -106,9 +121,19 @@ def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, w_pows: jnp.ndarray,
             t = v            # stage-0 twiddle is w^0 = 1: no multiply
         else:
             tw = w_pows[:, 0:n // 2:g]                  # (L, m)
-            tw = mont.FE(tw.reshape((L,) + (1,) * nb + (1, m)),
-                         1 << 15, 2 * spec.modulus)
-            t = mont.mul(spec, v, tw)
+            tw_r = tw.reshape((L,) + (1,) * nb + (1, m))
+            if _use_fmul((n // 2) * (int(np.prod(batch)) if batch else 1)):
+                # One fused kernel instead of the ~4L^2-op XLA expansion.
+                from . import point_pallas
+                vn = mont.norm(spec, v)
+                tb = jnp.broadcast_to(tw_r, vn.v.shape).reshape(L, -1)
+                prod = point_pallas.fmul(spec, vn.v.reshape(L, -1), tb,
+                                         vb_a=vn.vb, vb_b=2 * spec.modulus)
+                t = mont.FE(prod.reshape(vn.v.shape), 1 << 15,
+                            2 * spec.modulus)
+            else:
+                tw_fe = mont.FE(tw_r, 1 << 15, 2 * spec.modulus)
+                t = mont.mul(spec, v, tw_fe)
         hi = mont.norm(spec, mont.add(spec, u, t))
         lo = mont.norm(spec, mont.sub(spec, u, t))
         vb = max(hi.vb, lo.vb)

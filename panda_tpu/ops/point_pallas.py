@@ -92,3 +92,49 @@ def pmadd(curve: CurveSpec, p, q_affine, interpret: bool = False):
 def pdbl(curve: CurveSpec, p, interpret: bool = False):
     """Complete doubling on an (L, N) coordinate triple."""
     return _run(curve, kf._pdbl, [*p], interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Field-level kernels
+# ---------------------------------------------------------------------------
+
+
+def _fmul_body(spec, vb_a, vb_b):
+    from ..fields.config import LIMB_BITS
+    from .kernel_field import LF, _mul
+
+    def kernel(a_ref, b_ref, o_ref):
+        L = spec.n_limbs
+        a = LF([a_ref[0, i] for i in range(L)], 1 << LIMB_BITS, vb_a)
+        b = LF([b_ref[0, i] for i in range(L)], 1 << LIMB_BITS, vb_b)
+        out = _mul(spec, a, b)
+        for i in range(L):
+            o_ref[0, i] = out.v[i]
+    return kernel
+
+
+def fmul(spec, a, b, vb_a: int | None = None, vb_b: int | None = None,
+         interpret: bool = False):
+    """Elementwise Montgomery multiply on uint32[L, N] arrays (normalized
+    limbs, values < vb_a/vb_b — default 2p); one fused kernel.
+    Bit-identical to fields/mont.py::mul on the same input class (the
+    value bounds only gate the trace-time overflow asserts)."""
+    vb_a = 2 * spec.modulus if vb_a is None else vb_a
+    vb_b = 2 * spec.modulus if vb_b is None else vb_b
+    L = spec.n_limbs
+    n = a.shape[-1]
+    T = -(-n // _TILE)
+    P = T * _TILE
+    at = _to_tiles(_pad(a, P), T)
+    bt = _to_tiles(_pad(b, P), T)
+    spec_b = pl.BlockSpec((1, L, 8, 128), lambda t: (t, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _fmul_body(spec, vb_a, vb_b),
+        grid=(T,),
+        in_specs=[spec_b, spec_b],
+        out_specs=spec_b,
+        out_shape=jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32),
+        interpret=interpret,
+    )(at, bt)
+    return _from_tiles(out, n)
