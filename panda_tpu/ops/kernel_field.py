@@ -139,6 +139,90 @@ def _mul(spec: FieldSpec, a: LF, b: LF) -> LF:
     return LF(out, 1 << LIMB_BITS, 2 * spec.modulus)
 
 
+def _wide_cols(spec: FieldSpec, a: LF, b: LF) -> list:
+    """Schoolbook column sums of a*b: 2L+1 accumulators, each < 2L * 2^15
+    + 2L * 2^15 < 2^21 for L <= 32 (lo and hi half-products split per
+    term, exactly as in :func:`_mul`)."""
+    L = spec.n_limbs
+    t = [None] * (2 * L + 1)
+
+    def acc(k, x):
+        t[k] = x if t[k] is None else t[k] + x
+
+    for i in range(L):
+        for j in range(L):
+            prod = a.v[i] * b.v[j]
+            acc(i + j, prod & _MASK)
+            acc(i + j + 1, prod >> LIMB_BITS)
+    for k in range(2 * L + 1):
+        if t[k] is None:
+            t[k] = jnp.zeros_like(a.v[0])
+    return t
+
+
+@functools.lru_cache(maxsize=None)
+def _wide_sub_const(spec: FieldSpec, vb: int):
+    """Multiple of p whose 2L+1 wide-column decomposition dominates the
+    column sums of any double-limb product with value < vb (the wide-domain
+    analog of :func:`_sub_const`).  Returns (column constants, value)."""
+    L = spec.n_limbs
+    ncols = 2 * L + 1
+    colmax = 2 * L * ((1 << LIMB_BITS) - 1)     # >= any _wide_cols column
+    m = [min(colmax, vb >> (LIMB_BITS * i)) for i in range(ncols)]
+    val = sum(x << (LIMB_BITS * i) for i, x in enumerate(m))
+    k = -(-val // spec.modulus)
+    cval = k * spec.modulus
+    delta = cval - val
+    c = list(m)
+    for i in range(ncols):
+        c[i] += (delta >> (LIMB_BITS * i)) & LIMB_MASK
+    assert all(0 <= ci < (1 << 31) for ci in c)
+    assert sum(x << (LIMB_BITS * i) for i, x in enumerate(c)) == cval
+    return tuple(int(x) for x in c), cval
+
+
+def _mont_reduce_cols(spec: FieldSpec, t: list, vb: int) -> LF:
+    """Interleaved Montgomery reduction of wide column accumulators
+    (value < vb <= R*p); output limbs < 2^15, value < 2p."""
+    if vb > spec.r * spec.modulus:
+        raise OverflowError(f"{spec.name}: wide reduction bound overflow")
+    L = spec.n_limbs
+    p_np = spec.p_limbs
+    ninv = np.uint32(spec.neg_inv)
+    for i in range(L):
+        mm = (t[i] * ninv) & _MASK
+        for j in range(L):
+            pj = mm * np.uint32(p_np[j])
+            t[i + j] = t[i + j] + (pj & _MASK)
+            t[i + j + 1] = t[i + j + 1] + (pj >> LIMB_BITS)
+        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
+    out, carry = [], None
+    for j in range(L):
+        v = t[L + j] if carry is None else t[L + j] + carry
+        out.append(v & _MASK)
+        carry = v >> LIMB_BITS
+    return LF(out, 1 << LIMB_BITS, 2 * spec.modulus)
+
+
+def _mul2(spec: FieldSpec, a: LF, b: LF, c: LF, d: LF, sub: bool) -> LF:
+    """Fused a*b +/- c*d with ONE Montgomery reduction (the reference pays
+    two reductions plus a modular add for the same dataflow,
+    ``field.cuh:488-563``; fusing saves ~L^2 multiplies per pair).  For
+    subtraction a wide multiple of p dominating c*d's columns is added so
+    no accumulator underflows."""
+    a, b, c, d = (_need16(spec, x) for x in (a, b, c, d))
+    t1 = _wide_cols(spec, a, b)
+    t2 = _wide_cols(spec, c, d)
+    if sub:
+        cols, cval = _wide_sub_const(spec, c.vb * d.vb)
+        t = [x + np.uint32(k) - y for x, y, k in zip(t1, t2, cols)]
+        vb = a.vb * b.vb + cval
+    else:
+        t = [x + y for x, y in zip(t1, t2)]
+        vb = a.vb * b.vb + c.vb * d.vb
+    return _mont_reduce_cols(spec, t, vb)
+
+
 def _mul_small(spec: FieldSpec, a: LF, k: int) -> LF:
     acc = None
     for bit in bin(k)[2:]:
@@ -161,17 +245,17 @@ _COORD_MULT = 8
 def _madd(curve: CurveSpec, px, py, pz, qx, qy):
     """Complete mixed addition (RCB Algorithm 8, a = 0) on limb lists.
 
-    Same op sequence and bound flow as ``curves/point.py::madd`` (which
-    itself mirrors the contract of the reference's madd-2007-bl,
-    ``projective.cuh:259``, minus the branches).  p*: limb lists of the
-    8p coordinate class; q*: limb lists of the 2p affine class.
+    Same formula as ``curves/point.py::madd`` (which mirrors the contract
+    of the reference's madd-2007-bl, ``projective.cuh:259``, minus the
+    branches), with the three trailing M+/-M pairs fused into single-
+    reduction :func:`_mul2` calls — outputs are equal mod p but not
+    bit-identical to the XLA path (both canonicalize at the boundary).
+    p*: limb lists of the 8p coordinate class; q*: 2p affine class.
     Returns normalized limb lists, value < 8p.
     """
     f = curve.fp
     wrap8 = lambda v: LF(v, 1 << LIMB_BITS, _COORD_MULT * f.modulus)
     x1, y1, z1 = wrap8(px), wrap8(py), wrap8(pz)
-    # Same conservative 8p class as curves/point.py::madd so the two paths
-    # stay BIT-identical (the lb/vb class picks the sub constants).
     x2, y2 = wrap8(qx), wrap8(qy)
     M = lambda a, b: _mul(f, a, b)
     A = lambda a, b: _add(f, a, b)
@@ -191,9 +275,9 @@ def _madd(curve: CurveSpec, px, py, pz, qx, qy):
     z3 = A(t1, t2)
     t1 = S(t1, t2)
     t5 = mb3(t5)
-    x3 = S(M(t3, t1), M(t4, t5))
-    y3 = A(M(t1, z3), M(t5, t0))
-    z3 = A(M(z3, t4), M(t0, t3))
+    x3 = _mul2(f, t3, t1, t4, t5, sub=True)        # t3*t1 - t4*t5
+    y3 = _mul2(f, t1, z3, t5, t0, sub=False)       # t1*z3 + t5*t0
+    z3 = _mul2(f, z3, t4, t0, t3, sub=False)       # z3*t4 + t0*t3
     out = []
     for v in (x3, y3, z3):
         v = _norm(f, v)
@@ -207,7 +291,8 @@ def _madd(curve: CurveSpec, px, py, pz, qx, qy):
 def _padd(curve: CurveSpec, px, py, pz, qx, qy, qz):
     """Complete projective addition (RCB Algorithm 7, a = 0) on limb lists.
 
-    Same op sequence and bound flow as ``curves/point.py::add``.  Both
+    Same formula as ``curves/point.py::add``, with the trailing M+/-M
+    pairs fused via :func:`_mul2` (equal mod p, not bit-identical).  Both
     operands in the 8p coordinate class; outputs normalized, value < 8p.
     """
     f = curve.fp
@@ -233,9 +318,9 @@ def _padd(curve: CurveSpec, px, py, pz, qx, qy, qz):
     z3 = A(t1, t2)
     t1 = S(t1, t2)
     t5 = mb3(t5)
-    x3 = S(M(t3, t1), M(t4, t5))
-    y3 = A(M(t1, z3), M(t5, t0))
-    z3 = A(M(z3, t4), M(t0, t3))
+    x3 = _mul2(f, t3, t1, t4, t5, sub=True)        # t3*t1 - t4*t5
+    y3 = _mul2(f, t1, z3, t5, t0, sub=False)       # t1*z3 + t5*t0
+    z3 = _mul2(f, z3, t4, t0, t3, sub=False)       # z3*t4 + t0*t3
     out = []
     for v in (x3, y3, z3):
         v = _norm(f, v)

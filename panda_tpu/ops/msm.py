@@ -13,17 +13,17 @@ but is organized around one wide batched scan:
    scalars out of Montgomery form first, ``msm_cuda.cuh:148-157``);
 2. ALL windows' digits are sorted at once (one batched ``sort_key_val`` —
    XLA's TPU sort is depth-bound, so the window batch is nearly free);
-3. phase A: one ``lax.scan`` sweeps the sorted streams of every window in
-   parallel — lanes = (window, block) pairs, each lane owning S contiguous
-   sorted elements.  Runs of equal digits accumulate with complete *mixed*
-   adds.  A run's interior endpoint lies in exactly ONE lane's block, so
-   when a lane's digit changes it scatter-SETs its finished run sum
-   straight into the dense per-window bucket table (carried through the
-   scan) — no conflicts, no atomics, no partial-array staging, O(W * 2^c)
-   memory regardless of n;
-4. the per-lane leftover accumulators ("tails", <= 1 per lane, key-sorted
-   by construction) collapse with one short segmented scan and one
-   gather-add-scatter into the same table;
+3. phase A: one fused Pallas scan (lax.scan fallback off-TPU) sweeps the
+   sorted streams of every window in parallel — lanes = (window, block)
+   pairs, each lane owning S contiguous sorted elements.  Runs of equal
+   digits accumulate with complete *mixed* adds; when a lane's digit
+   changes it emits its finished run segment into the emission stream at
+   that lane-major slot;
+4. because the digit stream is sorted, bucket b's run ends at position
+   hi_b = searchsorted(keys, b, 'right'): the dense per-window bucket
+   table is a D-entry GATHER from the emission stream (plus a short
+   segmented scan merging the per-lane tail accumulators and one batched
+   complete add) — no second sort, no scatter, no atomics;
 5. a work-efficient weighted reduction (sum_d d*B_d, ~2 adds per bucket,
    batched over windows) collapses bucket tables to window sums;
 6. Horner across windows: c doublings + one add per window (``lax.scan``).
@@ -107,7 +107,7 @@ def window_bits(log_n: int, bits: int = 254, lanes: int | None = None) -> int:
         windows = signed_window_count(bits, c)
         m = min(lanes or default_lanes(n, windows), n)
         per_window = (n                                   # phase-A mixed adds
-                      + (1 << c)                          # weighted reduction
+                      + 3 * (1 << (c - 1))                # dense add + weighted
                       + m * (m.bit_length() + 2))         # tail collapse
         cost = windows * per_window
         if best_cost is None or cost < best_cost:
@@ -185,12 +185,11 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
 
     Scatter-free by construction: XLA scatter serializes per index on TPU
     (measured ~25 us/index on v5e), so the pipeline only ever uses sorts,
-    gathers and dense selects.  Run sums emitted by the phase-A scan (at
-    most one live partial per (lane, bucket), plus one tail per lane) are
-    key-sorted so the <= 2^c + m live entries compact to a static-size
-    prefix SLICE; a short segmented scan merges equal keys; the dense
-    table is then a batched binary-search GATHER (the last entry of key b
-    in the inclusive scan is b's total).
+    gathers and dense selects.  The emission stream inherits the digit
+    sort's order, so each bucket's run-end slot is computable by binary
+    search over the sorted keys and the dense table is a batched GATHER —
+    the only point work after the scan is the log2(m)-level tail merge,
+    one complete add per bucket, and the weighted reduction.
     """
     W, n = digits.shape
     D = (1 << (c - 1)) if signs is not None else (1 << c) - 1
@@ -249,68 +248,54 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
         (fx, fy, fz, fkey), (ekeys, ex, ey, ez) = jax.lax.scan(
             step, init, (keys_s, qx_s, qy_s))
 
-    # A bucket's sorted run occupies ONE contiguous range, so exactly one
-    # lane sees its end inside the block: interior emissions are UNIQUE per
-    # key.  Lanes whose block ends mid-run contribute through their tail
-    # accumulator instead.  Processing the two streams separately keeps the
-    # expensive segmented merge down to the (W, m) tails plus ONE level
-    # over the merged compact streams (each key appears <= twice there:
-    # one interior total + one tail total).
+    # A bucket's sorted run occupies ONE contiguous range [lo, hi), so its
+    # final-lane segment is emitted at EXACTLY lane-major slot hi (the step
+    # where the lane's key changes) — no sort of the emission stream is
+    # needed: hi_b = searchsorted(keys, b, 'right') turns the dense table
+    # build into a D-entry GATHER per window.  Lanes fully covered by a
+    # run, and runs ending exactly on a lane boundary, contribute through
+    # the per-lane tails instead.
     def lane_major(stepwise):
         sw = jnp.moveaxis(stepwise, 0, -1)              # (..., W, m, S)
         return sw.reshape(sw.shape[:-2] + (m * steps,))
 
     P = m * steps
-    pkeys = lane_major(ekeys)
+    pkeys = lane_major(ekeys)                           # (W, P)
     ppts = ProjPoint(lane_major(ex), lane_major(ey), lane_major(ez))
+    targets = jnp.arange(1, D + 1, dtype=jnp.uint32)    # buckets 1..D
+    locate = jax.vmap(lambda k: jnp.searchsorted(k, targets, side="right"))
+    hi = locate(keys).astype(jnp.int32)                 # (W, D) in [0, P]
+    slot = jnp.clip(hi, 0, P - 1)
+    k_at = jnp.take_along_axis(pkeys, slot, axis=1)
+    # Valid interior emission: the slot really carries bucket b's key and
+    # the run boundary is interior to a lane (hi % steps == 0 covers both
+    # the lane-boundary case and the empty-run hi == 0 / hi == P cases).
+    valid_i = (k_at == targets[None]) & ((hi % steps) != 0)
+    ipts = ProjPoint(*(jnp.take_along_axis(a, slot[None], axis=-1)
+                       for a in ppts))                  # (L, W, D)
+    ident = cp.identity(curve, (W, D))
+    interior = cp.select(valid_i, ipts, ident)
 
-    # Interior emissions: sort, compact to the <= D+1 live entries.
-    pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.uint32)[None], (W, P))
-    ikeys, ipos = jax.lax.sort_key_val(pkeys, pos, dimension=1)
-    cap_i = min(P, D + 1)
-    ikeys = ikeys[:, :cap_i]
-    ipos = ipos[:, :cap_i].astype(jnp.int32)
-    ipts = ProjPoint(*(jnp.take_along_axis(a, ipos[None], axis=-1)
-                       for a in ppts))                  # (L, W, cap_i)
-
-    # Tails: nondecreasing keys by construction (lane q's tail key is the
-    # last key of its sorted block).  Merge equal-key runs with a small
-    # segmented scan, keep only each run's last (= total) entry.
+    # Tails: lane q's tail is its final run segment; tail keys are
+    # nondecreasing across lanes by construction.  Merge equal-key runs
+    # (a bucket spanning whole lanes leaves one tail per covered lane)
+    # with one short segmented scan; the run's LAST entry holds the merged
+    # total, found again by binary search.
     tkeys = jnp.where(fkey == _INIT_KEY, B, fkey)       # (W, m)
     tpts = ProjPoint(fx, fy, fz)
     tstarts = jnp.concatenate(
         [jnp.ones((W, 1), jnp.bool_), tkeys[:, 1:] != tkeys[:, :-1]], axis=1)
     tsum = red.segmented_prefix_scan(curve, tpts, tstarts, max_seg=m)
-    is_last = jnp.concatenate(
-        [tkeys[:, :-1] != tkeys[:, 1:], jnp.ones((W, 1), jnp.bool_)], axis=1)
-    tkeys = jnp.where(is_last, tkeys, B)
+    tpos = locate(tkeys).astype(jnp.int32) - 1          # (W, D), may be -1
+    tslot = jnp.clip(tpos, 0, m - 1)
+    tk_at = jnp.take_along_axis(tkeys, tslot, axis=1)
+    valid_t = (tk_at == targets[None]) & (tpos >= 0)
+    tpick = ProjPoint(*(jnp.take_along_axis(a, tslot[None], axis=-1)
+                        for a in tsum))                 # (L, W, D)
+    tails = cp.select(valid_t, tpick, ident)
 
-    # Merge the two compact per-key-unique streams; each key <= 2 entries.
-    mkeys = jnp.concatenate([ikeys, tkeys], axis=1)     # (W, cap_i + m)
-    mpts = ProjPoint(*(jnp.concatenate([a, b], axis=-1)
-                       for a, b in zip(ipts, tsum)))
-    Pm = cap_i + m
-    mpos = jnp.broadcast_to(jnp.arange(Pm, dtype=jnp.uint32)[None], (W, Pm))
-    skeys, spos = jax.lax.sort_key_val(mkeys, mpos, dimension=1)
-    cap = min(Pm, 2 * (D + 1))
-    skeys = skeys[:, :cap]
-    spos = spos[:, :cap].astype(jnp.int32)
-    spts = ProjPoint(*(jnp.take_along_axis(a, spos[None], axis=-1)
-                       for a in mpts))                  # (L, W, cap)
-    starts = jnp.concatenate(
-        [jnp.ones((W, 1), jnp.bool_), skeys[:, 1:] != skeys[:, :-1]], axis=1)
-    scanned = red.segmented_prefix_scan(curve, spts, starts, max_seg=2)
-
-    # Dense table via batched binary search: the LAST entry of bucket b in
-    # the inclusive segmented scan holds b's full sum.
-    targets = jnp.arange(1, D + 1, dtype=jnp.uint32)    # buckets 1..D
-    locate = jax.vmap(lambda k: jnp.searchsorted(k, targets, side="right"))
-    bpos = jnp.clip(locate(skeys) - 1, 0, cap - 1).astype(jnp.int32)  # (W, D)
-    found = jnp.take_along_axis(skeys, bpos, axis=-1) == targets[None]
-    picked = ProjPoint(*(jnp.take_along_axis(a, bpos[None], axis=-1)
-                         for a in scanned))             # (L, W, D)
-    ident = cp.identity(curve, (W, D))
-    return cp.select(found, picked, ident)
+    # B_b = interior segment + merged tails: one batched complete add.
+    return cp.add(curve, interior, tails)
 
 
 # Upper bound on W_g * n elements staged by one phase-A pass.  One pass

@@ -95,6 +95,114 @@ def pdbl(curve: CurveSpec, p, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Weighted bucket-reduction scan kernel
+# ---------------------------------------------------------------------------
+
+
+def _identity_lists(curve: CurveSpec):
+    f = curve.fp
+    zero = [jnp.zeros((8, 128), jnp.uint32)] * f.n_limbs
+    one = [jnp.full((8, 128), np.uint32(v)) for v in f.one_limbs]
+    return zero, one
+
+
+def _wscan_kernel(curve: CurveSpec, S: int,
+                  bx_ref, by_ref, bz_ref,
+                  rx_ref, ry_ref, rz_ref, wx_ref, wy_ref, wz_ref,
+                  *scratch):
+    """Sequential 'run += B; wsum += run' scan with both accumulators in
+    VMEM — the inner loop of the weighted bucket reduction
+    (``ops/reduce.py::weighted_window_sum``) as ONE kernel instead of
+    2*steps pallas calls with HBM round-trips between them."""
+    f = curve.fp
+    L = f.n_limbs
+    s = pl.program_id(1)
+    runx, runy, runz, wsx, wsy, wsz = scratch
+    zero, one = _identity_lists(curve)
+
+    @pl.when(s == 0)
+    def _init():
+        for i in range(L):
+            runx[i] = zero[i]
+            runy[i] = one[i]
+            runz[i] = zero[i]
+            wsx[i] = zero[i]
+            wsy[i] = one[i]
+            wsz[i] = zero[i]
+
+    bx = [bx_ref[0, 0, i] for i in range(L)]
+    by = [by_ref[0, 0, i] for i in range(L)]
+    bz = [bz_ref[0, 0, i] for i in range(L)]
+    rx = [runx[i] for i in range(L)]
+    ry = [runy[i] for i in range(L)]
+    rz = [runz[i] for i in range(L)]
+    nrx, nry, nrz = kf._padd(curve, rx, ry, rz, bx, by, bz)
+    wx = [wsx[i] for i in range(L)]
+    wy = [wsy[i] for i in range(L)]
+    wz = [wsz[i] for i in range(L)]
+    nwx, nwy, nwz = kf._padd(curve, wx, wy, wz, nrx, nry, nrz)
+    for i in range(L):
+        runx[i] = nrx[i]
+        runy[i] = nry[i]
+        runz[i] = nrz[i]
+        wsx[i] = nwx[i]
+        wsy[i] = nwy[i]
+        wsz[i] = nwz[i]
+
+    @pl.when(s == S - 1)
+    def _out():
+        for i in range(L):
+            rx_ref[0, i] = nrx[i]
+            ry_ref[0, i] = nry[i]
+            rz_ref[0, i] = nrz[i]
+            wx_ref[0, i] = nwx[i]
+            wy_ref[0, i] = nwy[i]
+            wz_ref[0, i] = nwz[i]
+
+
+def weighted_scan(curve: CurveSpec, bx, by, bz, interpret: bool = False):
+    """Reverse weighted scan over the LAST axis of (L, N, S) bucket
+    coordinate arrays: returns (run, wsum) pairs of (L, N) arrays with
+    run = sum_s B_s and wsum = sum_s (s + 1) * B_s (0-based s), matching
+    the reverse ``lax.scan`` in ``reduce.weighted_window_sum``.
+    N % 1024 == 0."""
+    L, N, S = bx.shape
+    assert N % 1024 == 0, "weighted_scan requires N % 1024 == 0"
+    T = N // 1024
+
+    def to_sT(a):   # (L, N, S) -> (S, T, L, 8, 128), steps reversed
+        a = jnp.flip(a, axis=-1)
+        a = jnp.transpose(a, (2, 1, 0))            # (S, N, L)
+        a = a.reshape(S, T, 8, 128, L)
+        return jnp.transpose(a, (0, 1, 4, 2, 3))
+
+    tiles = [to_sT(a) for a in (bx, by, bz)]
+    bspec = pl.BlockSpec((1, 1, L, 8, 128), lambda t, s: (s, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, L, 8, 128), lambda t, s: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shape = tuple([jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32)] * 6)
+
+    kernel = functools.partial(_wscan_kernel, curve, S)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T, S),
+        in_specs=[bspec] * 3,
+        out_specs=tuple([ospec] * 6),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((L, 8, 128), jnp.uint32)] * 6,
+        interpret=interpret,
+    )(*tiles)
+
+    def back(a):    # (T, L, 8, 128) -> (L, N)
+        return jnp.transpose(a, (1, 0, 2, 3)).reshape(L, N)
+
+    run = tuple(back(a) for a in outs[:3])
+    wsum = tuple(back(a) for a in outs[3:])
+    return run, wsum
+
+
+# ---------------------------------------------------------------------------
 # Field-level kernels
 # ---------------------------------------------------------------------------
 

@@ -159,6 +159,16 @@ def weighted_window_sum(curve: CurveSpec, buckets: ProjPoint) -> ProjPoint:
     target = max(8192 // max(batch, 1), 1)
     log_lanes = min(max(target.bit_length() - 1, 0), _ceil_log2(d) // 2 + 3,
                     _ceil_log2(d))
+    use_kernel = cp._use_kernels(buckets.x.shape)
+    if use_kernel:
+        # The fused scan kernel tiles batch*lanes onto (8, 128): bump the
+        # lane count to reach divisibility by 1024 when within reach.
+        v2 = (batch & -batch).bit_length() - 1
+        need = max(10 - v2, 0)
+        if need <= _ceil_log2(d):
+            log_lanes = max(log_lanes, need)
+        if (batch << log_lanes) % 1024 != 0:
+            use_kernel = False
     lanes = 1 << log_lanes
     log_steps = _ceil_log2(d) - log_lanes
     steps = 1 << log_steps
@@ -167,19 +177,31 @@ def weighted_window_sum(curve: CurveSpec, buckets: ProjPoint) -> ProjPoint:
         ident = cp.identity(curve, lead + (pad,))
         buckets = ProjPoint(*(jnp.concatenate([a, b], axis=-1)
                               for a, b in zip(buckets, ident)))
-    # (L, *lead, lanes, steps) -> scan over steps (leading axis)
-    xs = tuple(jnp.moveaxis(a.reshape(a.shape[:-1] + (lanes, steps)), -1, 0)
-               for a in buckets)
+    L = buckets.x.shape[0]
+    if use_kernel:
+        # One fused kernel for the whole 'run += B; wsum += run' scan:
+        # both accumulators stay in VMEM across the steps instead of
+        # round-tripping HBM through 2*steps separate point-add calls.
+        from . import point_pallas
+        flat = [a.reshape(L, batch * lanes, steps) for a in buckets]
+        run, wsum = point_pallas.weighted_scan(curve, *flat)
+        t = ProjPoint(*(a.reshape((L,) + lead + (lanes,)) for a in run))
+        wsum = ProjPoint(*(a.reshape((L,) + lead + (lanes,)) for a in wsum))
+    else:
+        # (L, *lead, lanes, steps) -> scan over steps (leading axis)
+        xs = tuple(jnp.moveaxis(
+            a.reshape(a.shape[:-1] + (lanes, steps)), -1, 0)
+            for a in buckets)
 
-    def body(carry, row):
-        run = cp.add(curve, ProjPoint(*carry[:3]), ProjPoint(*row))
-        wsum = cp.add(curve, ProjPoint(*carry[3:]), run)
-        return (*run, *wsum), None
+        def body(carry, row):
+            run = cp.add(curve, ProjPoint(*carry[:3]), ProjPoint(*row))
+            wsum = cp.add(curve, ProjPoint(*carry[3:]), run)
+            return (*run, *wsum), None
 
-    ident = tuple(cp.identity(curve, lead + (lanes,)))
-    out, _ = jax.lax.scan(body, (*ident, *ident), xs, reverse=True)
-    t = ProjPoint(*out[:3])        # T_q = sum_r B_{q,r}
-    wsum = ProjPoint(*out[3:])     # sum_r (r+1) B_{q,r}
+        ident = tuple(cp.identity(curve, lead + (lanes,)))
+        out, _ = jax.lax.scan(body, (*ident, *ident), xs, reverse=True)
+        t = ProjPoint(*out[:3])        # T_q = sum_r B_{q,r}
+        wsum = ProjPoint(*out[3:])     # sum_r (r+1) B_{q,r}
 
     total_w = small_total(curve, wsum)
     if lanes == 1:
