@@ -51,20 +51,21 @@ from . import reduce as red
 _INIT_KEY = np.uint32(0xFFFFFFFF)   # accumulator "no key yet" sentinel
 
 
-def _use_phase_a_kernel(W: int, m: int) -> bool:
-    """Run phase A as the fused Pallas kernel when on TPU hardware.
-
-    PANDA_PALLAS=0 forces the lax.scan path (and is the implicit default
-    off-TPU, where the kernel would need the slow interpreter)."""
+def _pallas_ok() -> bool:
+    """True when the fused Pallas kernels should run (TPU backend;
+    PANDA_PALLAS=0 forces the jnp/lax fallbacks, the implicit default
+    off-TPU where the kernels would need the slow interpreter)."""
     import os
     if os.environ.get("PANDA_PALLAS", "1") != "1":
-        return False
-    if (W * m) % 1024 != 0:
         return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False
+
+
+def _use_phase_a_kernel(W: int, m: int) -> bool:
+    return (W * m) % 1024 == 0 and _pallas_ok()
 
 
 def default_lanes(n: int, windows: int = 1) -> int:
@@ -207,29 +208,70 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
     if pad:
         keys = jnp.pad(keys, ((0, 0), (0, pad)), constant_values=int(B))
         sidx = jnp.pad(sidx, ((0, 0), (0, pad)))
-    # Gather the sorted point stream ONCE (one big fused gather + one
-    # negation pass beats per-step gathers inside the scan).
     oi = sidx & np.uint32(0x7FFFFFFF)
-    qx_all = jnp.take(px, oi, axis=1)                   # (L, W, m*steps)
-    qy_all = jnp.take(py, oi, axis=1)
-    if signs is not None:
-        sgn = (sidx >> np.uint32(31)).astype(jnp.bool_)
-        qy_all = mont.select(sgn, mont.neg_mod(curve.fp, qy_all), qy_all)
-    # Blocked lanes: lane q of window w owns sorted positions
-    # [q*steps, (q+1)*steps); element (w, q, s) -> scan step s, lane (w, q).
-    keys_s = jnp.transpose(keys.reshape(W, m, steps), (2, 0, 1))   # (S, W, m)
-
-    def coord_s(a):   # (L, W, m*steps) -> (S, L, W, m)
-        return jnp.transpose(a.reshape(a.shape[0], W, m, steps), (3, 0, 1, 2))
-
-    qx_s, qy_s = coord_s(qx_all), coord_s(qy_all)
+    sgn = sidx >> np.uint32(31)
+    P = m * steps
+    targets = jnp.arange(1, D + 1, dtype=jnp.uint32)    # buckets 1..D
+    locate = jax.vmap(lambda k: jnp.searchsorted(k, targets, side="right"))
+    # A bucket's sorted run occupies ONE contiguous range [lo, hi), so its
+    # final-lane segment is emitted at EXACTLY lane-major slot hi (the step
+    # where the lane's key changes) — no sort of the emission stream is
+    # needed: hi_b = searchsorted(keys, b, 'right') turns the dense table
+    # build into a D-entry GATHER per window.  Lanes fully covered by a
+    # run, and runs ending exactly on a lane boundary, contribute through
+    # the per-lane tails instead.
+    hi = locate(keys).astype(jnp.int32)                 # (W, D) in [0, P]
+    slot = jnp.clip(hi, 0, P - 1)
+    ident = cp.identity(curve, (W, D))
 
     if _use_phase_a_kernel(W, m):
         from . import phase_a_pallas
-        (ekeys, ex, ey, ez, tkeys0, fx, fy, fz) = phase_a_pallas.phase_a_scan(
-            curve, keys_s, qx_s, qy_s, int(B))
-        fkey = jnp.where(tkeys0 == B, _INIT_KEY, tkeys0)
+        # Blocked lanes: lane q of window w owns sorted positions
+        # [q*steps, (q+1)*steps); flat lane j = w*m + q maps to tile
+        # (j//1024, (j%1024)//128, j%128).  ONLY the small u32 index /
+        # key / sign arrays are transposed into the (S, T, 8, 128) tile
+        # layout; the ~100x larger coordinate stream is gathered directly
+        # into kernel tiles and never transposed.
+        T = (W * m) // 1024
+
+        def tile_k(a):        # (W, P) -> (S, T, 8, 128)
+            return jnp.transpose(a.reshape(W, m, steps),
+                                 (2, 0, 1)).reshape(steps, T, 8, 128)
+
+        oi5 = tile_k(oi)
+        qx5 = jnp.take(px, oi5, axis=1)                 # (L, S, T, 8, 128)
+        qy5 = jnp.take(py, oi5, axis=1)
+        ek5, ex5, ey5, ez5, tk4, tx4, ty4, tz4 = \
+            phase_a_pallas.phase_a_scan_tiles(
+                curve, tile_k(keys), tile_k(sgn), qx5, qy5, int(B))
+        # Interior pick straight off the kernel's native emission tiles.
+        s_i = slot % steps
+        j = jnp.arange(W, dtype=jnp.int32)[:, None] * m + slot // steps
+        t_i, r = j // 1024, j % 1024
+        sub, lane = r // 128, r % 128
+        k_at = ek5[s_i, t_i, sub, lane]                 # (W, D)
+        valid_i = (k_at == targets[None]) & ((hi % steps) != 0)
+        ipts = ProjPoint(*(jnp.moveaxis(a[s_i, t_i, :, sub, lane], -1, 0)
+                           for a in (ex5, ey5, ez5)))   # (L, W, D)
+        tkeys = tk4.reshape(W, m)
+
+        def tail_c(a):        # (T, L, 8, 128) -> (L, W, m)
+            return jnp.transpose(a, (1, 0, 2, 3)).reshape(-1, W, m)
+
+        tpts = ProjPoint(tail_c(tx4), tail_c(ty4), tail_c(tz4))
     else:
+        qx_all = jnp.take(px, oi, axis=1)               # (L, W, m*steps)
+        qy_all = jnp.take(py, oi, axis=1)
+        if signs is not None:
+            qy_all = mont.select(sgn.astype(jnp.bool_),
+                                 mont.neg_mod(curve.fp, qy_all), qy_all)
+        keys_s = jnp.transpose(keys.reshape(W, m, steps), (2, 0, 1))
+
+        def coord_s(a):   # (L, W, m*steps) -> (S, L, W, m)
+            return jnp.transpose(
+                a.reshape(a.shape[0], W, m, steps), (3, 0, 1, 2))
+
+        qx_s, qy_s = coord_s(qx_all), coord_s(qy_all)
         ident_lane = cp.identity(curve, (W, m))
 
         def step(carry, inp):
@@ -248,32 +290,22 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
         (fx, fy, fz, fkey), (ekeys, ex, ey, ez) = jax.lax.scan(
             step, init, (keys_s, qx_s, qy_s))
 
-    # A bucket's sorted run occupies ONE contiguous range [lo, hi), so its
-    # final-lane segment is emitted at EXACTLY lane-major slot hi (the step
-    # where the lane's key changes) — no sort of the emission stream is
-    # needed: hi_b = searchsorted(keys, b, 'right') turns the dense table
-    # build into a D-entry GATHER per window.  Lanes fully covered by a
-    # run, and runs ending exactly on a lane boundary, contribute through
-    # the per-lane tails instead.
-    def lane_major(stepwise):
-        sw = jnp.moveaxis(stepwise, 0, -1)              # (..., W, m, S)
-        return sw.reshape(sw.shape[:-2] + (m * steps,))
+        def lane_major(stepwise):
+            sw = jnp.moveaxis(stepwise, 0, -1)          # (..., W, m, S)
+            return sw.reshape(sw.shape[:-2] + (m * steps,))
 
-    P = m * steps
-    pkeys = lane_major(ekeys)                           # (W, P)
-    ppts = ProjPoint(lane_major(ex), lane_major(ey), lane_major(ez))
-    targets = jnp.arange(1, D + 1, dtype=jnp.uint32)    # buckets 1..D
-    locate = jax.vmap(lambda k: jnp.searchsorted(k, targets, side="right"))
-    hi = locate(keys).astype(jnp.int32)                 # (W, D) in [0, P]
-    slot = jnp.clip(hi, 0, P - 1)
-    k_at = jnp.take_along_axis(pkeys, slot, axis=1)
-    # Valid interior emission: the slot really carries bucket b's key and
-    # the run boundary is interior to a lane (hi % steps == 0 covers both
-    # the lane-boundary case and the empty-run hi == 0 / hi == P cases).
-    valid_i = (k_at == targets[None]) & ((hi % steps) != 0)
-    ipts = ProjPoint(*(jnp.take_along_axis(a, slot[None], axis=-1)
-                       for a in ppts))                  # (L, W, D)
-    ident = cp.identity(curve, (W, D))
+        pkeys = lane_major(ekeys)                       # (W, P)
+        ppts = ProjPoint(lane_major(ex), lane_major(ey), lane_major(ez))
+        k_at = jnp.take_along_axis(pkeys, slot, axis=1)
+        # Valid interior emission: the slot really carries bucket b's key
+        # and the run boundary is interior to a lane (hi % steps == 0
+        # covers the lane-boundary case and empty-run hi == 0 / hi == P).
+        valid_i = (k_at == targets[None]) & ((hi % steps) != 0)
+        ipts = ProjPoint(*(jnp.take_along_axis(a, slot[None], axis=-1)
+                           for a in ppts))              # (L, W, D)
+        tkeys = jnp.where(fkey == _INIT_KEY, B, fkey)   # (W, m)
+        tpts = ProjPoint(fx, fy, fz)
+
     interior = cp.select(valid_i, ipts, ident)
 
     # Tails: lane q's tail is its final run segment; tail keys are
@@ -281,8 +313,6 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
     # (a bucket spanning whole lanes leaves one tail per covered lane)
     # with one short segmented scan; the run's LAST entry holds the merged
     # total, found again by binary search.
-    tkeys = jnp.where(fkey == _INIT_KEY, B, fkey)       # (W, m)
-    tpts = ProjPoint(fx, fy, fz)
     tstarts = jnp.concatenate(
         [jnp.ones((W, 1), jnp.bool_), tkeys[:, 1:] != tkeys[:, :-1]], axis=1)
     tsum = red.segmented_prefix_scan(curve, tpts, tstarts, max_seg=m)
@@ -358,6 +388,23 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
         .transpose()[:W] for a in out))                       # (W, L)
 
 
+def signed_digit_arrays(fr: FieldSpec, scalars, c: int,
+                        scalars_in_mont: bool = True):
+    """(mags, negs) signed-digit recode of scalars, fused on TPU.
+
+    One Pallas kernel covers from-Montgomery conversion + canonicalization
+    + the W-window recode (ops/digits_pallas.py); the jnp path is the
+    bit-identical fallback."""
+    n = scalars.shape[-1]
+    if n % 1024 == 0 and _pallas_ok():
+        from . import digits_pallas
+        W = signed_window_count(fr.bits, c)
+        return digits_pallas.signed_digits(fr, scalars, c, W,
+                                           from_mont=scalars_in_mont)
+    s_std = mont.from_mont(fr, scalars) if scalars_in_mont else scalars
+    return extract_signed_digits(fr, s_std, c)
+
+
 def window_sums_fn(curve: CurveSpec, c: int, scalars_in_mont: bool = True):
     """(px, py, scalars) -> window-sum arrays (W, L) x3 — the device part
     of the byte-API MSM (the Horner tail runs on host, as in the reference:
@@ -365,9 +412,8 @@ def window_sums_fn(curve: CurveSpec, c: int, scalars_in_mont: bool = True):
     there)."""
 
     def fn(px, py, scalars):
-        fr = curve.fr
-        s_std = mont.from_mont(fr, scalars) if scalars_in_mont else scalars
-        mags, negs = extract_signed_digits(fr, s_std, c)
+        mags, negs = signed_digit_arrays(curve.fr, scalars, c,
+                                         scalars_in_mont)
         return tuple(window_sums(curve, px, py, mags, c, signs=negs))
 
     return fn
@@ -432,9 +478,7 @@ def msm(curve: CurveSpec, px, py, scalars, c: int | None = None,
     n = px.shape[-1]
     if c is None:
         c = window_bits(max(n - 1, 1).bit_length())
-    fr = curve.fr
-    s_std = mont.from_mont(fr, scalars) if scalars_in_mont else scalars
-    mags, negs = extract_signed_digits(fr, s_std, c)
+    mags, negs = signed_digit_arrays(curve.fr, scalars, c, scalars_in_mont)
     sums = window_sums(curve, px, py, mags, c, lanes, signs=negs)
     return horner(curve, sums, c)
 

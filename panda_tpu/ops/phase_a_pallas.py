@@ -9,14 +9,14 @@ scratch across the sequential grid steps, every intermediate of the field
 arithmetic stays in vector registers / VMEM, and each (8, 128) lane tile
 streams its sorted point blocks through a single fused kernel.
 
-Same contract as the lax.scan in ``msm._bucket_tables``:
-
-  inputs  keys   (S, T, 8, 128) uint32   sorted digit per element
-          qx/qy  (S, T, L, 8, 128)       gathered (sign-applied) points
-  outputs ekeys  (S, T, 8, 128)          emitted run keys (dead = B)
-          ex/ey/ez (S, T, L, 8, 128)     emitted run sums
-          tkeys  (T, 8, 128)             per-lane tail keys (dead = B)
-          tx/ty/tz (T, L, 8, 128)        per-lane tail accumulators
+I/O is in the kernel's native tile layout — the caller gathers the sorted
+point stream DIRECTLY into (L, S, T, 8, 128) tiles by permuting the sort's
+index payload (a small u32 transpose) instead of transposing the ~100x
+larger coordinate arrays, and the digit sign is applied in-kernel (one
+select per element) rather than as a separate negation pass over the
+gathered stream.  Downstream consumers read the emission stream with
+tile-indexed gathers (see ``msm._bucket_tables``); nothing ever transposes
+an (S, T, L, 8, 128) array.
 
 Field/point math inside the kernel is a dedicated limb-list
 implementation (each limb one (8, 128) uint32 tile): Mosaic compiles
@@ -43,6 +43,7 @@ from ..fields.config import LIMB_BITS, LIMB_MASK, FieldSpec
 from .kernel_field import _madd, _select
 
 _MASK = np.uint32(LIMB_MASK)
+_BASE = np.uint32(1 << LIMB_BITS)
 _INIT_KEY = np.uint32(0xFFFFFFFF)
 
 # ---------------------------------------------------------------------------
@@ -57,8 +58,21 @@ def _identity_lists(curve: CurveSpec):
     return zero, one
 
 
+def _neg2p(spec: FieldSpec, y):
+    """2p - y on a normalized limb list (y < 2p); borrow-chain subtract."""
+    tp = spec.two_p_limbs
+    out, borrow = [], None
+    for i in range(spec.n_limbs):
+        t = np.uint32(tp[i]) + _BASE - y[i]
+        if borrow is not None:
+            t = t - borrow
+        out.append(t & _MASK)
+        borrow = np.uint32(1) - (t >> LIMB_BITS)
+    return out
+
+
 def _kernel(curve: CurveSpec, dead: int, S: int,
-            keys_ref, qx_ref, qy_ref,
+            keys_ref, sgn_ref, qx_ref, qy_ref,
             ekeys_ref, ex_ref, ey_ref, ez_ref,
             tkeys_ref, tx_ref, ty_ref, tz_ref,
             accx, accy, accz, acck):
@@ -76,8 +90,10 @@ def _kernel(curve: CurveSpec, dead: int, S: int,
         acck[...] = jnp.full((8, 128), _INIT_KEY)
 
     k = keys_ref[0, 0]
-    qx = [qx_ref[0, 0, i] for i in range(L)]
-    qy = [qy_ref[0, 0, i] for i in range(L)]
+    sgn = sgn_ref[0, 0] != 0
+    qx = [qx_ref[i, 0, 0] for i in range(L)]
+    qy = [qy_ref[i, 0, 0] for i in range(L)]
+    qy = _select(sgn, _neg2p(f, qy), qy)
     ax = [accx[i] for i in range(L)]
     ay = [accy[i] for i in range(L)]
     az = [accz[i] for i in range(L)]
@@ -113,29 +129,27 @@ def _kernel(curve: CurveSpec, dead: int, S: int,
             tz_ref[0, i] = nz[i]
 
 
-def phase_a_scan(curve: CurveSpec, keys_s, qx_s, qy_s, dead: int,
-                 interpret: bool = False):
-    """Run the phase-A scan kernel.
+def phase_a_scan_tiles(curve: CurveSpec, keys5, sgn5, qx5, qy5, dead: int,
+                       interpret: bool = False):
+    """Run the phase-A scan kernel on native tile layouts.
 
-    keys_s: (S, W, m) uint32; qx_s/qy_s: (S, L, W, m).  W*m must be a
-    multiple of 1024 (the (8, 128) lane tile).  Returns
-    (ekeys (S, W, m), ex, ey, ez (L, W, m per step -> (S, L, W, m)),
-     tkeys (W, m), tx, ty, tz (L, W, m)).
+    keys5/sgn5: (S, T, 8, 128) uint32 — sorted digit / sign per element;
+    qx5/qy5: (L, S, T, 8, 128) gathered affine coordinates (sign NOT yet
+    applied — the kernel negates y where sgn5 is set).  T*1024 covers the
+    flattened (window, lane) space.  Returns raw tiles:
+
+      ekeys (S, T, 8, 128)       emitted run keys (dead = B)
+      ex/ey/ez (S, T, L, 8, 128) emitted run sums
+      tkeys (T, 8, 128)          per-lane tail keys (dead = B)
+      tx/ty/tz (T, L, 8, 128)    per-lane tail accumulators
     """
-    S, W, m = keys_s.shape
+    S, T = keys5.shape[:2]
     L = curve.fp.n_limbs
-    WM = W * m
-    assert WM % 1024 == 0, "lane tiling requires W*m % 1024 == 0"
-    T = WM // 1024
-
-    keys_t = keys_s.reshape(S, T, 8, 128)
-    qx_t = jnp.transpose(qx_s, (0, 2, 3, 1)).reshape(S, T, 8, 128, L)
-    qx_t = jnp.transpose(qx_t, (0, 1, 4, 2, 3))        # (S, T, L, 8, 128)
-    qy_t = jnp.transpose(qy_s, (0, 2, 3, 1)).reshape(S, T, 8, 128, L)
-    qy_t = jnp.transpose(qy_t, (0, 1, 4, 2, 3))
 
     grid = (T, S)
     kspec = pl.BlockSpec((1, 1, 8, 128), lambda t, s: (s, t, 0, 0),
+                         memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((L, 1, 1, 8, 128), lambda t, s: (0, s, t, 0, 0),
                          memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((1, 1, L, 8, 128), lambda t, s: (s, t, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -158,26 +172,14 @@ def phase_a_scan(curve: CurveSpec, keys_s, qx_s, qy_s, dead: int,
                  tk_spec, tc_spec, tc_spec, tc_spec)
 
     kernel = functools.partial(_kernel, curve, dead, S)
-    ek, ex, ey, ez, tk, tx, ty, tz = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[kspec, cspec, cspec],
+        in_specs=[kspec, kspec, qspec, qspec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=(
             [pltpu.VMEM((L, 8, 128), jnp.uint32)] * 3
             + [pltpu.VMEM((8, 128), jnp.uint32)]),
         interpret=interpret,
-    )(keys_t, qx_t, qy_t)
-
-    def back_k(a):       # (S|, T, 8, 128) -> (S, W, m) / (W, m)
-        return a.reshape(a.shape[:-3] + (WM,)).reshape(
-            a.shape[:-3] + (W, m))
-
-    def back_c(a):       # (..., T, L, 8, 128) -> (..., L, W, m)
-        moved = jnp.moveaxis(a, -3, -4)                 # (..., L, T, 8, 128)
-        return moved.reshape(moved.shape[:-3] + (WM,)).reshape(
-            moved.shape[:-3] + (W, m))
-
-    return (back_k(ek), back_c(ex), back_c(ey), back_c(ez),
-            back_k(tk), back_c(tx), back_c(ty), back_c(tz))
+    )(keys5, sgn5, qx5, qy5)
