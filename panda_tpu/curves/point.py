@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -295,7 +296,12 @@ def fold_sum(curve: CurveSpec, pts: ProjPoint) -> ProjPoint:
 
 
 def scalar_mul_int(curve: CurveSpec, p: ProjPoint, k: int) -> ProjPoint:
-    """Double-and-add with a static Python integer scalar (tests/Horner)."""
+    """Double-and-add with a static Python integer scalar.
+
+    The scalar is burned into the graph (~1.5 point ops per bit, fully
+    unrolled) — only for SMALL static scalars; for full-width or traced
+    scalars use :func:`scalar_mul`, whose graph size is one loop body.
+    """
     if k == 0:
         return identity(curve, p.x.shape[1:])
     acc = None
@@ -304,4 +310,36 @@ def scalar_mul_int(curve: CurveSpec, p: ProjPoint, k: int) -> ProjPoint:
             acc = dbl(curve, acc)
         if bit == "1":
             acc = p if acc is None else add(curve, acc, p)
+    return acc
+
+
+def scalar_mul(curve: CurveSpec, p: ProjPoint, k_limbs: jnp.ndarray,
+               bits: int | None = None) -> ProjPoint:
+    """Branchless double-and-add with a TRACED scalar.
+
+    k_limbs: uint32[Lr] canonical (non-Montgomery) 15-bit limbs of the
+    scalar (same layout as ``fields.codec``).  LSB-first ladder under
+    ``lax.scan`` — one dbl + one complete add + select per bit, so the
+    compiled graph is a single loop body regardless of scalar width
+    (unlike :func:`scalar_mul_int`).  The reference has no scalar-mul
+    entry point (its only per-point multiply is the bucket-index
+    double-and-add inside MSM, ``msm_cuda.cuh:373-449``); this is the
+    library-level equivalent.
+    """
+    from ..fields.config import LIMB_BITS
+    if bits is None:
+        bits = curve.fr.bits
+    nb = k_limbs.shape[0] * LIMB_BITS
+    shifts = jnp.arange(LIMB_BITS, dtype=jnp.uint32)
+    kb = ((k_limbs[:, None] >> shifts[None, :]) & 1).reshape(nb)[:bits]
+
+    def body(carry, bit):
+        acc, base = carry
+        added = add(curve, acc, base)
+        acc = select(bit.astype(jnp.bool_), added, acc)
+        base = dbl(curve, base)
+        return (acc, base), None
+
+    init = (identity(curve, p.x.shape[1:]), p)
+    (acc, _), _ = jax.lax.scan(body, init, kb)
     return acc

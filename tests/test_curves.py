@@ -78,10 +78,20 @@ def test_fold_and_scalar_mul(curve, data, rng):
     got = proj_to_oracle(curve, jax.jit(lambda a: cp.fold_sum(curve, a))(P))
     assert got[0] == exp
 
+    # Full-width scalar through the scan-based ladder (one loop body to
+    # compile) plus a small static scalar through the unrolled
+    # scalar_mul_int (whose graph size grows with the scalar width).
     k = rng.randrange(1, curve.fr.modulus)
+    from panda_tpu.fields.config import int_to_limbs
+    kl = jnp.asarray(int_to_limbs(k, curve.fr.n_limbs))
     got = proj_to_oracle(curve, jax.jit(
-        lambda a: cp.scalar_mul_int(curve, a, k))(P))
+        lambda a, kk: cp.scalar_mul(curve, a, kk))(P, kl))
     assert got == [oracle.ec_mul(curve, a, k) for a in pts]
+
+    ks = rng.randrange(1, 1 << 16)
+    got = proj_to_oracle(curve, jax.jit(
+        lambda a: cp.scalar_mul_int(curve, a, ks))(P))
+    assert got == [oracle.ec_mul(curve, a, ks) for a in pts]
 
 
 def test_jacobian_and_projective_conversions(data):
