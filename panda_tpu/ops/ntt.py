@@ -54,6 +54,7 @@ class NttTables(NamedTuple):
     w_pows: jnp.ndarray        # (L, n/2) forward twiddles, Montgomery
     w_inv_pows: jnp.ndarray    # (L, n/2) inverse twiddles, Montgomery
     n_inv: np.ndarray          # (L,) n^-1 Montgomery limbs (host constant)
+    omega: int = 0             # forward root (plain int; 0 = unknown)
 
 
 def bit_reverse_permutation(log_n: int) -> np.ndarray:
@@ -94,6 +95,7 @@ def make_tables(spec: FieldSpec, log_n: int, omega: int | None = None) -> NttTab
         w_pows=_power_table(spec, omega, max(n // 2, 1)),
         w_inv_pows=_power_table(spec, omega_inv, max(n // 2, 1)),
         n_inv=spec.mont_limbs(n_inv),
+        omega=omega,
     )
 
 
@@ -187,9 +189,27 @@ def ntt_jitted(spec: FieldSpec, log_n: int, inverse: bool = False):
     return jax.jit(run)
 
 
+_FUSED_MIN_LOG_N = 10
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int):
+    from . import ntt_pallas
+    return jax.jit(functools.partial(
+        ntt_pallas.fused_ntt, spec, log_n=log_n, inverse=inverse,
+        omega=omega))
+
+
 def run_ntt(spec: FieldSpec, x: jnp.ndarray, tables: NttTables,
             inverse: bool = False) -> jnp.ndarray:
-    """Convenience wrapper dispatching to the jitted kernel."""
+    """Convenience wrapper dispatching to the jitted kernel.
+
+    On TPU, large transforms route through the fused multi-stage Pallas
+    four-step path (ops/ntt_pallas.py) — bit-identical output (both paths
+    canonicalize); PANDA_PALLAS=0 forces the stagewise jnp path."""
+    from .msm import _pallas_ok
+    if tables.log_n >= _FUSED_MIN_LOG_N and tables.omega and _pallas_ok():
+        return _fused_jitted(spec, tables.log_n, inverse, tables.omega)(x)
     fn = ntt_jitted(spec, tables.log_n, inverse)
     return fn(x, tables.bitrev,
               tables.w_inv_pows if inverse else tables.w_pows,
