@@ -85,11 +85,22 @@ def _bitrev(log_k: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _kernel(spec: FieldSpec, log_k: int, vb_in: int,
-            x_ref, tw_ref, o_ref):
+def _kernel(spec: FieldSpec, log_k: int, vb_in: int, fuse_tw: bool,
+            *refs):
+    if fuse_tw:
+        x_ref, tw_ref, pre_ref, o_ref = refs
+    else:
+        x_ref, tw_ref, o_ref = refs
+        pre_ref = None
     L = spec.n_limbs
     K = 1 << log_k
     X = LF([x_ref[0, i] for i in range(L)], 1 << LIMB_BITS, vb_in)
+    if pre_ref is not None:
+        # Fused inter-step twiddle (four-step T1): one multiply at load
+        # replaces a whole separate fmul pass over HBM.
+        pre = LF([pre_ref[0, i] for i in range(L)], 1 << LIMB_BITS,
+                 2 * spec.modulus)
+        X = _mul(spec, X, pre)
     for s in range(log_k):
         m = 1 << s
         g = K // (2 * m)
@@ -118,12 +129,15 @@ def _kernel(spec: FieldSpec, log_k: int, vb_in: int,
 
 def small_ntt_batch(spec: FieldSpec, x: jnp.ndarray, log_k: int,
                     tw_rows: jnp.ndarray, vb_in: int | None = None,
+                    pre_tw: jnp.ndarray | None = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Batch of length-K NTTs along axis 1.
 
     x: uint32[L, K, Nb] with the transform axis BIT-REVERSED (output comes
     back in natural order); Nb is padded here to a multiple of 128.
-    tw_rows: ``stage_twiddle_rows`` array for (log_k, omega).  Values
+    tw_rows: ``stage_twiddle_rows`` array for (log_k, omega).  pre_tw
+    (optional, same shape as x): per-element Montgomery factor applied at
+    load — the four-step inter-step twiddle fused into the kernel.  Values
     Montgomery, normalized limbs, value < vb_in (default 2p); output < 2p.
     """
     L, K, nb = x.shape
@@ -134,19 +148,31 @@ def small_ntt_batch(spec: FieldSpec, x: jnp.ndarray, log_k: int,
     P = T * _LANES
     if P != nb:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, P - nb)))
-    tiles = jnp.transpose(x.reshape(L, K, T, _LANES), (2, 0, 1, 3))
+        if pre_tw is not None:
+            pre_tw = jnp.pad(pre_tw, ((0, 0), (0, 0), (0, P - nb)))
+
+    def to_tiles(a):
+        return jnp.transpose(a.reshape(L, K, T, _LANES), (2, 0, 1, 3))
+
     bspec = pl.BlockSpec((1, L, K, _LANES), lambda t: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec((1, L, K, _LANES), lambda t: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
+    fuse = pre_tw is not None
+    ins = [to_tiles(x), tw_rows] + ([to_tiles(pre_tw)] if fuse else [])
     out = pl.pallas_call(
-        functools.partial(_kernel, spec, log_k, vb_in),
+        functools.partial(_kernel, spec, log_k, vb_in, fuse),
         grid=(T,),
-        in_specs=[bspec, tspec],
+        in_specs=[bspec, tspec] + ([bspec] if fuse else []),
         out_specs=bspec,
         out_shape=jax.ShapeDtypeStruct((T, L, K, _LANES), jnp.uint32),
+        # The unrolled stages keep ~3 tile-sized intermediates live; the
+        # default 16 MB scoped-vmem budget is a soft limit well below the
+        # chip's VMEM (v5e: 128 MB) — raise it instead of shrinking K.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
-    )(tiles, tw_rows)
+    )(*ins)
     out = jnp.transpose(out, (1, 2, 0, 3)).reshape(L, K, P)
     return out[:, :, :nb]
 
@@ -167,26 +193,32 @@ class FusedNttPlan:
     """
 
     def __init__(self, spec: FieldSpec, log_n: int, omega: int,
-                 maxk: int = 7):
+                 maxk: int = 8):
         self.spec = spec
         self.log_n = log_n
         self.maxk = maxk
-        self.levels = []            # [(log_a, log_b, T1, leafA_tw)]
+        self.levels = []            # [(log_a, log_b, T1t_br, leafA_tw, brA)]
         self.leaf = None            # (log_k, tw_rows, bitrev)
         assert log_n >= 3, "fused NTT needs n >= 8"
         log, w = log_n, omega
-        # Both split factors must be kernel-sized (>= 8 rows, i.e. >= 3
-        # bits); a residue of 4-5 bits can't split and becomes a slightly
+        # Balanced splits minimize recursion depth and keep every factor
+        # kernel-sized (>= 8 rows, i.e. >= 3 bits); a 4-5 bit residue
+        # can't split into two such factors and becomes a slightly
         # oversized leaf instead (maxk is a VMEM-sizing target, not a cap).
-        while log >= max(maxk + 1, 6):
-            la = min(maxk, log - 3)
+        while log > maxk and log >= 6:
+            la = min(maxk, (log + 1) // 2)
             lb = log - la
             A, B = 1 << la, 1 << lb
             wA = pow(w, B, spec.modulus)   # outer length-A root
-            t1 = self._t1_table(spec, w, la, lb)
-            self.levels.append((la, lb, t1,
+            brA = _bitrev(la)
+            t1 = self._t1_table(spec, w, la, lb)        # (L, B, A)
+            # Stored transposed to the outer kernel's (rows=j1, lanes=k2)
+            # layout with rows already bit-reversed, so it feeds the
+            # kernel's fused load-side multiply with no runtime reshuffle.
+            t1t = jnp.take(jnp.swapaxes(t1, 1, 2), jnp.asarray(brA), axis=1)
+            self.levels.append((la, lb, t1t,
                                 jnp.asarray(stage_twiddle_rows(spec, la, wA)),
-                                jnp.asarray(_bitrev(la))))
+                                jnp.asarray(brA)))
             log, w = lb, pow(w, A, spec.modulus)
         self.leaf = (log, jnp.asarray(stage_twiddle_rows(spec, log, w)),
                      jnp.asarray(_bitrev(log)))
@@ -208,7 +240,7 @@ class FusedNttPlan:
 
 @functools.lru_cache(maxsize=16)
 def fused_plan(spec: FieldSpec, log_n: int, inverse: bool = False,
-               maxk: int = 7, omega: int | None = None) -> FusedNttPlan:
+               maxk: int = 8, omega: int | None = None) -> FusedNttPlan:
     if omega is None:
         omega = spec.root_of_unity(log_n)
     if inverse:
@@ -224,30 +256,27 @@ def _transform(plan: FusedNttPlan, level: int, x: jnp.ndarray,
         log_k, tw, br = plan.leaf
         return small_ntt_batch(spec, jnp.take(x, br, axis=1), log_k, tw,
                                interpret=interpret)
-    la, lb, t1, twA, brA = plan.levels[level]
+    la, lb, t1t, twA, brA = plan.levels[level]
     A, B = 1 << la, 1 << lb
     L, M, batch = x.shape
     assert M == A * B
     # inner: length-B over j2; x[j1 + A*j2] -> reshape (B, A*batch)
     y = _transform(plan, level + 1,
                    x.reshape(L, B, A * batch), interpret)
-    # twiddle w^(j1*k2), broadcast over the trailing batch
+    # outer: length-A over j1 -> transpose to (A, B*batch); the four-step
+    # twiddle w^(j1*k2) rides the kernel's fused load-side multiply
+    # (t1t is pre-transposed and row-bit-reversed to this layout).
     y = y.reshape(L, B, A, batch)
-    from . import point_pallas
-    prod = point_pallas.fmul(
-        spec, y.reshape(L, -1),
-        jnp.broadcast_to(t1[..., None], y.shape).reshape(L, -1),
-        interpret=interpret)
-    y = prod.reshape(L, B, A, batch)
-    # outer: length-A over j1 -> transpose to (A, B*batch)
     z = jnp.swapaxes(y, 1, 2).reshape(L, A, B * batch)
+    pre = t1t if batch == 1 else jnp.broadcast_to(
+        t1t[..., None], (L, A, B, batch)).reshape(L, A, B * batch)
     out = small_ntt_batch(spec, jnp.take(z, brA, axis=1), la, twA,
-                          interpret=interpret)
+                          pre_tw=pre, interpret=interpret)
     return out.reshape(L, A * B, batch)
 
 
 def fused_ntt(spec: FieldSpec, x: jnp.ndarray, log_n: int,
-              inverse: bool = False, maxk: int = 7,
+              inverse: bool = False, maxk: int = 8,
               omega: int | None = None,
               interpret: bool = False) -> jnp.ndarray:
     """Full fused NTT along the LAST axis of (L, *batch, n).
