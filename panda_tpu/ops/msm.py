@@ -357,6 +357,8 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
     16 GB chip).
     """
     W, n = digits.shape
+    if n > _PHASE_A_BUDGET:
+        return _window_sums_chunked(curve, px, py, digits, c, lanes, signs)
     wg = _window_group_size(n, W)
     if wg >= W:
         m = min(lanes or default_lanes(n, W), n)
@@ -386,6 +388,49 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
     return ProjPoint(*(
         jnp.moveaxis(a, 0, 1).reshape(a.shape[1], groups * wg)
         .transpose()[:W] for a in out))                       # (W, L)
+
+
+def _window_sums_chunked(curve: CurveSpec, px, py, digits, c: int,
+                         lanes, signs) -> ProjPoint:
+    """Point-chunked window sums for n beyond the phase-A staging budget.
+
+    Splits the points into ``_PHASE_A_BUDGET``-sized chunks, runs the full
+    window-sum pipeline per chunk under one compiled ``lax.scan`` body, and
+    combines the per-chunk (W,)-batched partials with complete point adds
+    — the single-chip analog of the multi-chip points sharding
+    (parallel/msm_sharded.py), and the fix for the reference's up-front
+    full-size index arena (``msm_cuda.cuh:604-610``) which cannot scale to
+    k >= 23 on one device.  Padded points carry digit 0 = the excluded
+    zero bucket, so they contribute the identity.
+    """
+    W, n = digits.shape
+    ncap = _PHASE_A_BUDGET
+    chunks = -(-n // ncap)
+    pad = chunks * ncap - n
+    if pad:
+        digits = jnp.pad(digits, ((0, 0), (0, pad)))
+        px = jnp.pad(px, ((0, 0), (0, pad)))
+        py = jnp.pad(py, ((0, 0), (0, pad)))
+        if signs is not None:
+            signs = jnp.pad(signs, ((0, 0), (0, pad)))
+    L = px.shape[0]
+    pxr = jnp.moveaxis(px.reshape(L, chunks, ncap), 1, 0)     # (C, L, ncap)
+    pyr = jnp.moveaxis(py.reshape(L, chunks, ncap), 1, 0)
+    dgr = jnp.moveaxis(digits.reshape(W, chunks, ncap), 1, 0)  # (C, W, ncap)
+    sgr = (jnp.moveaxis(signs.reshape(W, chunks, ncap), 1, 0)
+           if signs is not None else jnp.zeros((chunks, W, ncap), jnp.bool_))
+
+    def body(acc, inp):
+        pxc, pyc, dc, sc = inp
+        part = window_sums(curve, pxc, pyc, dc, c, lanes=lanes,
+                           signs=sc if signs is not None else None)
+        # window_sums returns (W, L) stacks; point ops are limb-leading.
+        part = ProjPoint(*(jnp.transpose(a) for a in part))   # (L, W)
+        return cp.add(curve, acc, part), None
+
+    acc0 = cp.identity(curve, (W,))                           # (L, W)
+    acc, _ = jax.lax.scan(body, acc0, (pxr, pyr, dgr, sgr))
+    return ProjPoint(*(jnp.transpose(a) for a in acc))        # (W, L)
 
 
 def signed_digit_arrays(fr: FieldSpec, scalars, c: int,

@@ -102,6 +102,13 @@ def test_msm_window_grouping(rng, monkeypatch):
     _run_case(BN254, rng, 24, c=7)
 
 
+def test_msm_point_chunking(rng, monkeypatch):
+    """The point-chunked (n beyond the phase-A budget) path is
+    bit-identical: 24 points through 16-point chunks (2 chunks + pad)."""
+    monkeypatch.setattr(msm_ops, "_PHASE_A_BUDGET", 16)
+    _run_case(BN254, rng, 24, c=7)
+
+
 def test_window_sums_match_oracle(rng):
     """Per-window partial sums equal sum(digit * P) directly."""
     curve = BN254
