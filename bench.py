@@ -23,7 +23,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-LOG_N = int(os.environ.get("PANDA_BENCH_LOG_N", "16"))
+LOG_N = int(os.environ.get("PANDA_BENCH_LOG_N", "20"))
 REPS = int(os.environ.get("PANDA_BENCH_REPS", "3"))
 HIST = pathlib.Path(__file__).resolve().parent / "BENCH_HISTORY.json"
 
@@ -72,9 +72,19 @@ def main():
 
     res = run()                            # compile + warm-up
 
-    # Guard: the timed artifact must be the correct MSM result.
+    # Guard: the timed artifact must be the correct MSM result.  Up to
+    # 2^16 the Python big-int oracle is affordable; above that, require
+    # agreement with an independently parameterized run (different window
+    # width -> entirely different digit/bucket decomposition).
     if os.environ.get("PANDA_BENCH_CHECK", "1") == "1":
-        exp = curve_ref.msm_oracle(BN254, [table[i] for i in idx], sv)
+        if LOG_N <= 16:
+            exp = curve_ref.msm_oracle(BN254, [table[i] for i in idx], sv)
+        else:
+            c2 = c - 1 if c > 4 else c + 1
+            ws2 = msm_ops.window_sums_fn(BN254, c2)
+            fn2 = jax.jit(lambda a, b, s: jnp.stack(ws2(a, b, s)))
+            sums2 = np.asarray(fn2(px, py, scalars))
+            exp = msm_ops.host_horner(BN254, list(sums2), c2)
         assert res == exp, "bench result != oracle"
 
     best = float("inf")
