@@ -200,15 +200,34 @@ def _fused_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int):
         omega=omega))
 
 
+@functools.lru_cache(maxsize=32)
+def _mxu_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int):
+    from . import ntt_mxu
+    return jax.jit(functools.partial(
+        ntt_mxu.mxu_ntt, spec, log_n=log_n, inverse=inverse, omega=omega))
+
+
+def _ntt_impl() -> str:
+    """auto | mxu | pallas | jnp (PANDA_NTT_IMPL)."""
+    import os
+    return os.environ.get("PANDA_NTT_IMPL", "auto")
+
+
 def run_ntt(spec: FieldSpec, x: jnp.ndarray, tables: NttTables,
             inverse: bool = False) -> jnp.ndarray:
     """Convenience wrapper dispatching to the jitted kernel.
 
-    On TPU, large transforms route through the fused multi-stage Pallas
-    four-step path (ops/ntt_pallas.py) — bit-identical output (both paths
-    canonicalize); PANDA_PALLAS=0 forces the stagewise jnp path."""
+    On TPU, large transforms route through the MXU matmul engine
+    (ops/ntt_mxu.py); PANDA_NTT_IMPL selects pallas (fused VPU kernels,
+    ops/ntt_pallas.py) or jnp (stagewise) explicitly.  All paths
+    canonicalize — bit-identical output."""
     from .msm import _pallas_ok
-    if tables.log_n >= _FUSED_MIN_LOG_N and tables.omega and _pallas_ok():
+    impl = _ntt_impl()
+    big = tables.log_n >= _FUSED_MIN_LOG_N and tables.omega
+    if tables.omega and (impl == "mxu"
+                         or (impl == "auto" and big and _pallas_ok())):
+        return _mxu_jitted(spec, tables.log_n, inverse, tables.omega)(x)
+    if impl == "pallas" and big and _pallas_ok():
         return _fused_jitted(spec, tables.log_n, inverse, tables.omega)(x)
     fn = ntt_jitted(spec, tables.log_n, inverse)
     return fn(x, tables.bitrev,

@@ -1,0 +1,282 @@
+"""MXU (systolic-array) NTT engine: transforms as int8 limb-plane matmuls.
+
+Every multiplication in an NTT is by a *known* constant (a root-of-unity
+power), and multiplication by a known constant is a **linear map** over the
+limb representation:
+
+    c * x mod p  =  sum_i x_i * (c * 2^(5i) mod p)        x_i: 5-bit digits
+
+so an entire length-K transform — all log2(K) butterfly stages together —
+is ONE linear map y = F_K x whose matrix has small bounded entries.  In the
+5-bit digit basis that is a (K*D, K*D) int8 matrix (D = 3*n_limbs digits of
+5 bits; 15-bit limbs split exactly into 3 digits), and a batch of length-K
+NTTs is a single int8 matmul that XLA places on the MXU
+(`preferred_element_type=int32`).  Per element this costs the same MACs as
+ONE constant multiply — the DFT matrix *absorbs* all stages — and the MXU
+executes int8 MACs ~2 orders of magnitude faster than the VPU executes the
+u32 schoolbook limb products of the Pallas butterfly kernel
+(ops/ntt_pallas.py), which remains as the non-MXU fallback.
+
+Large transforms use the same four-step recursion as ops/ntt_pallas.py
+(reference radix-round contract: /root/reference/src/cuda/core/unit/ntt/
+fft.cu:172-216): batched length-B pass, inter-step twiddle multiply
+(variable per element -> stays on the VPU fmul kernel), transpose, batched
+length-A matmul pass.  No bit-reversal anywhere: the DFT matrix maps
+natural order to natural order.
+
+Bound discipline (exact, asserted at plan-build time):
+- matmul input: normalized 15-bit limbs, any value < R (digits cover all
+  of R; the map is correct mod p for the full limb range);
+- matmul accumulators: < K*D*31*31 per digit — int32-exact;
+- regrouped value: < K*D*31*p; one fold of the bits above 15*(L-1) against
+  precomputed 2^(S+5j) mod p brings it under ~2^8*p with normalized limbs,
+  which composes with the Montgomery fmul (needs vb_a*vb_b <= R*p, and
+  R >= 4096*p by FieldSpec construction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import mont
+from ..fields.config import LIMB_BITS, LIMB_MASK, FieldSpec, int_to_limbs
+
+DIG_BITS = 5
+DIG_RADIX = 1 << DIG_BITS          # 32
+DIG_MAX = DIG_RADIX - 1            # 31
+DIG_PER_LIMB = LIMB_BITS // DIG_BITS
+assert DIG_PER_LIMB * DIG_BITS == LIMB_BITS
+
+
+def _digits5(value: int, d: int) -> np.ndarray:
+    """Little-endian base-32 digits of ``value`` as int8[d]."""
+    nbytes = (DIG_BITS * d + 7) // 8
+    raw = np.frombuffer(value.to_bytes(nbytes, "little"), np.uint8)
+    bits = np.unpackbits(raw, bitorder="little")[:DIG_BITS * d]
+    return (bits.reshape(d, DIG_BITS)
+            << np.arange(DIG_BITS, dtype=np.uint8)).sum(
+        axis=1, dtype=np.int64).astype(np.int8)
+
+
+@functools.lru_cache(maxsize=64)
+def dft_matrix(spec: FieldSpec, log_k: int, omega: int,
+               scale: int = 1) -> np.ndarray:
+    """(K*D, K*D) int8 DFT-of-constants matrix.
+
+    M[ki*D + i, ko*D + j] = digit_j(omega^(ki*ko) * scale * 2^(5i) mod p).
+    Row blocks = input element index (natural order), column blocks =
+    output element index (natural order).  ``scale`` (plain integer, e.g.
+    n^-1 for the inverse transform) rides along for free.
+    """
+    K = 1 << log_k
+    p = spec.modulus
+    D = DIG_PER_LIMB * spec.n_limbs
+    M = np.zeros((K * D, K * D), np.int8)
+    for ko in range(K):
+        w_ko = pow(omega, ko, p)
+        c = scale % p
+        for ki in range(K):
+            v = c
+            base = ki * D
+            col = slice(ko * D, (ko + 1) * D)
+            for i in range(D):
+                M[base + i, col] = _digits5(v, D)
+                v = (v << DIG_BITS) % p
+            c = c * w_ko % p
+    return M
+
+
+class _FoldPlan:
+    """Exact bound bookkeeping + fold constants for one (spec, K)."""
+
+    def __init__(self, spec: FieldSpec, log_k: int):
+        K = 1 << log_k
+        L = spec.n_limbs
+        D = DIG_PER_LIMB * L
+        p = spec.modulus
+        self.acc_bound = K * D * DIG_MAX * DIG_MAX        # per int32 digit
+        assert self.acc_bound < (1 << 31), "int32 accumulator overflow"
+        limb_bound = self.acc_bound * (1 + (1 << DIG_BITS) +
+                                       (1 << (2 * DIG_BITS)))
+        assert limb_bound < (1 << 32), "uint32 limb regroup overflow"
+        self.value_bound = K * D * DIG_MAX * p
+        # limbs needed to hold the carried value
+        self.n_limbs_ext = -(-self.value_bound.bit_length() // LIMB_BITS)
+        assert self.n_limbs_ext >= L
+        # fold split: bits >= S = 15*(L-1) (lo occupies limbs 0..L-2)
+        self.split = LIMB_BITS * (L - 1)
+        hi_limbs = self.n_limbs_ext - (L - 1)
+        self.n_hi_digits = DIG_PER_LIMB * hi_limbs
+        self.fold = np.stack([
+            int_to_limbs(pow(2, self.split + DIG_BITS * j, p), L)
+            for j in range(self.n_hi_digits)])            # (nh, L)
+        self.out_vb = (1 << self.split) + self.n_hi_digits * DIG_MAX * p
+        # folded limb accumulators: lo (<2^15) + nh products (<31*2^15)
+        assert (1 << LIMB_BITS) * (1 + self.n_hi_digits * DIG_MAX) < (1 << 32)
+        # output must compose with a Montgomery mul by a < 2p operand
+        assert self.out_vb * 2 * p <= spec.r * p, "fold insufficient"
+
+
+@functools.lru_cache(maxsize=64)
+def _fold_plan(spec: FieldSpec, log_k: int) -> _FoldPlan:
+    return _FoldPlan(spec, log_k)
+
+
+def dft_apply(spec: FieldSpec, x: jnp.ndarray, log_k: int,
+              mat: jnp.ndarray) -> jnp.ndarray:
+    """Batched length-K NTT along axis 1 of (L, K, nb) via one int8 matmul.
+
+    x: normalized 15-bit limbs, any represented value < R.  Output:
+    normalized limbs, value < _fold_plan(...).out_vb (~2^8 * p), natural
+    order both sides.
+    """
+    L, K, nb = x.shape
+    assert K == 1 << log_k
+    fp = _fold_plan(spec, log_k)
+    D = DIG_PER_LIMB * L
+    # --- limbs -> 5-bit digit planes, row-block layout (nb, K*D) ---------
+    d = jnp.stack([x & DIG_MAX, (x >> DIG_BITS) & DIG_MAX,
+                   (x >> (2 * DIG_BITS)) & DIG_MAX], axis=-1)  # (L,K,nb,3)
+    d = d.transpose(2, 1, 0, 3).reshape(nb, K * D).astype(jnp.int8)
+    # --- the MXU pass -----------------------------------------------------
+    acc = jnp.einsum("bi,ij->bj", d, mat,
+                     preferred_element_type=jnp.int32)         # (nb, K*D)
+    # --- regroup digits -> limbs (uint32, exact) --------------------------
+    acc = acc.reshape(nb, K, L, DIG_PER_LIMB).astype(jnp.uint32)
+    limbs = (acc[..., 0] + (acc[..., 1] << DIG_BITS)
+             + (acc[..., 2] << (2 * DIG_BITS)))                # (nb, K, L)
+    limbs = limbs.transpose(2, 1, 0)                           # (L, K, nb)
+    # --- carry-propagate over n_limbs_ext limbs ---------------------------
+    out = []
+    carry = jnp.zeros_like(limbs[0])
+    for i in range(fp.n_limbs_ext):
+        s = (limbs[i] + carry) if i < L else carry
+        out.append(s & LIMB_MASK)
+        carry = s >> LIMB_BITS
+    # --- fold bits >= split against 2^(S+5j) mod p ------------------------
+    lo = out[:L - 1]
+    hi = out[L - 1:]
+    res = lo + [jnp.zeros_like(lo[0])]                         # L limbs
+    t = 0
+    for h in hi:
+        for sub in range(DIG_PER_LIMB):
+            dig = (h >> (DIG_BITS * sub)) & DIG_MAX
+            f = fp.fold[t]
+            res = [r + dig * np.uint32(f[j]) for j, r in enumerate(res)]
+            t += 1
+    # final carry-propagate to normalized limbs
+    outp = []
+    carry = None
+    for i in range(L):
+        s = res[i] if carry is None else res[i] + carry
+        outp.append(s & LIMB_MASK)
+        carry = s >> LIMB_BITS
+    return jnp.stack(outp)
+
+
+def _vmul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray,
+          vb_a: int, vb_b: int) -> jnp.ndarray:
+    """Variable (elementwise) Montgomery multiply: fused Pallas kernel on
+    TPU, bit-identical jnp path elsewhere."""
+    from .msm import _pallas_ok
+    if _pallas_ok() and a.shape[-1] % 1024 == 0:
+        from . import point_pallas
+        return point_pallas.fmul(spec, a, b, vb_a=vb_a, vb_b=vb_b)
+    return mont.mul(spec, mont.FE(a, 1 << LIMB_BITS, vb_a),
+                    mont.FE(b, 1 << LIMB_BITS, vb_b)).v
+
+
+class MxuNttPlan:
+    """Device tables for one (spec, log_n, omega, maxk) MXU transform.
+
+    ``levels``: top-down four-step splits (log_a, log_b, T1 (L, A, B)
+    Montgomery < 2p, outer DFT matrix); ``leaf``: final matrix.  The
+    inverse-transform n^-1 scaling is absorbed into the TOP level's matrix
+    (one scaled constant set — zero runtime cost).
+    """
+
+    def __init__(self, spec: FieldSpec, log_n: int, omega: int,
+                 maxk: int = 5, scale: int = 1):
+        self.spec = spec
+        self.log_n = log_n
+        self.levels = []
+        log, w = log_n, omega
+        first = True
+        while log > maxk:
+            la = maxk
+            lb = log - la
+            A, B = 1 << la, 1 << lb
+            wA = pow(w, B, spec.modulus)
+            from .ntt_pallas import FusedNttPlan
+            t1 = FusedNttPlan._t1_table(spec, w, la, lb)       # (L, B, A)
+            t1t = jnp.swapaxes(t1, 1, 2)                       # (L, A, B)
+            mat = jnp.asarray(dft_matrix(spec, la, wA,
+                                         scale if first else 1))
+            self.levels.append((la, lb, t1t, mat))
+            log, w, first = lb, pow(w, A, spec.modulus), False
+        self.leaf = (log, jnp.asarray(dft_matrix(
+            spec, log, w, scale if first else 1)))
+        self.mid_vb = _fold_plan(spec, maxk).out_vb
+        self.leaf_vb = _fold_plan(spec, log).out_vb
+
+
+@functools.lru_cache(maxsize=16)
+def mxu_plan(spec: FieldSpec, log_n: int, inverse: bool = False,
+             maxk: int = 5, omega: int | None = None) -> MxuNttPlan:
+    if omega is None:
+        omega = spec.root_of_unity(log_n)
+    scale = 1
+    if inverse:
+        omega = pow(omega, -1, spec.modulus)
+        scale = pow(1 << log_n, -1, spec.modulus)
+    return MxuNttPlan(spec, log_n, omega, maxk, scale)
+
+
+def _transform(plan: MxuNttPlan, level: int, x: jnp.ndarray) -> jnp.ndarray:
+    """NTT along axis 1 of (L, M, batch), natural in/out order.  Output
+    limbs normalized, value < plan.{leaf,mid}_vb."""
+    spec = plan.spec
+    if level == len(plan.levels):
+        log_k, mat = plan.leaf
+        return dft_apply(spec, x, log_k, mat)
+    la, lb, t1t, mat = plan.levels[level]
+    A, B = 1 << la, 1 << lb
+    L, M, batch = x.shape
+    assert M == A * B
+    # inner: length-B over j2
+    y = _transform(plan, level + 1, x.reshape(L, B, A * batch))
+    in_vb = plan.leaf_vb if level + 1 == len(plan.levels) else plan.mid_vb
+    # four-step twiddle w^(j1*k2): variable per element -> VPU fmul
+    y = y.reshape(L, B, A, batch)
+    z = jnp.swapaxes(y, 1, 2).reshape(L, A, B * batch)
+    pre = (t1t if batch == 1 else
+           jnp.broadcast_to(t1t[..., None], (L, A, B, batch))
+           .reshape(L, A, B * batch))
+    z = _vmul(spec, z.reshape(L, -1), pre.reshape(L, -1),
+              vb_a=in_vb, vb_b=2 * spec.modulus).reshape(L, A, B * batch)
+    # outer: length-A matmul pass
+    return dft_apply(spec, z, la, mat).reshape(L, A * B, batch)
+
+
+def mxu_ntt(spec: FieldSpec, x: jnp.ndarray, log_n: int,
+            inverse: bool = False, maxk: int = 5,
+            omega: int | None = None) -> jnp.ndarray:
+    """Full MXU NTT along the LAST axis of (L, *batch, n).
+
+    Montgomery in/out; output canonical in [0, p), matching
+    ``ops/ntt.py``'s contract bit-for-bit (INTT includes n^-1 scaling).
+    """
+    plan = mxu_plan(spec, log_n, inverse, maxk, omega)
+    n = 1 << log_n
+    L = x.shape[0]
+    batch = x.shape[1:-1]
+    xb = x.reshape(L, -1, n)
+    xb = jnp.moveaxis(xb, 1, 2)                 # (L, n, nb)
+    y = _transform(plan, 0, xb)
+    y = jnp.moveaxis(y, 2, 1).reshape((L,) + batch + (n,))
+    top_vb = (plan.mid_vb if plan.levels else plan.leaf_vb)
+    return mont.canonical(spec, mont.FE(y, 1 << LIMB_BITS, top_vb))
