@@ -233,7 +233,12 @@ def mxu_plan(spec: FieldSpec, log_n: int, inverse: bool = False,
     if inverse:
         omega = pow(omega, -1, spec.modulus)
         scale = pow(1 << log_n, -1, spec.modulus)
-    return MxuNttPlan(spec, log_n, omega, maxk, scale)
+    # Force the table computations (T1 build is a chain of wide device
+    # muls) to run EAGERLY even when the caller is tracing: otherwise the
+    # whole setup would inline into the jitted graph and rerun per call,
+    # and the cache would hold leaked tracers.
+    with jax.ensure_compile_time_eval():
+        return MxuNttPlan(spec, log_n, omega, maxk, scale)
 
 
 def _transform(plan: MxuNttPlan, level: int, x: jnp.ndarray) -> jnp.ndarray:

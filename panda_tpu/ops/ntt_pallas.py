@@ -245,7 +245,11 @@ def fused_plan(spec: FieldSpec, log_n: int, inverse: bool = False,
         omega = spec.root_of_unity(log_n)
     if inverse:
         omega = pow(omega, -1, spec.modulus)
-    return FusedNttPlan(spec, log_n, omega, maxk)
+    # Tables must be concrete even when the caller is tracing (see
+    # ntt_mxu.mxu_plan): otherwise the T1 doubling chains inline into the
+    # jitted graph and rerun per call, and the cache holds leaked tracers.
+    with jax.ensure_compile_time_eval():
+        return FusedNttPlan(spec, log_n, omega, maxk)
 
 
 def _transform(plan: FusedNttPlan, level: int, x: jnp.ndarray,
