@@ -239,11 +239,15 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
                                  (2, 0, 1)).reshape(steps, T, 8, 128)
 
         oi5 = tile_k(oi)
-        qx5 = jnp.take(px, oi5, axis=1)                 # (L, S, T, 8, 128)
-        qy5 = jnp.take(py, oi5, axis=1)
+        # ONE gather of the bit-packed coordinate stream (two 15-bit limbs
+        # per u32, x then y) — half the bytes of two per-limb coordinate
+        # gathers; the kernel unpacks at load.  The gather is the single
+        # largest phase-A cost at large n (measured ~60% at 2^20).
+        pk = phase_a_pallas.pack_coords(curve.fp, px, py)
+        q5 = jnp.take(pk, oi5, axis=1)         # (2*ceil(L/2), S, T, 8, 128)
         ek5, ex5, ey5, ez5, tk4, tx4, ty4, tz4 = \
             phase_a_pallas.phase_a_scan_tiles(
-                curve, tile_k(keys), tile_k(sgn), qx5, qy5, int(B))
+                curve, tile_k(keys), tile_k(sgn), q5, int(B))
         # Interior pick straight off the kernel's native emission tiles.
         s_i = slot % steps
         j = jnp.arange(W, dtype=jnp.int32)[:, None] * m + slot // steps

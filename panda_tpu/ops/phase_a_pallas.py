@@ -72,12 +72,13 @@ def _neg2p(spec: FieldSpec, y):
 
 
 def _kernel(curve: CurveSpec, dead: int, S: int,
-            keys_ref, sgn_ref, qx_ref, qy_ref,
+            keys_ref, sgn_ref, q_ref,
             ekeys_ref, ex_ref, ey_ref, ez_ref,
             tkeys_ref, tx_ref, ty_ref, tz_ref,
             accx, accy, accz, acck):
     f = curve.fp
     L = f.n_limbs
+    Lp = -(-L // 2)
     s = pl.program_id(1)
     zero, one = _identity_lists(curve)
 
@@ -91,8 +92,21 @@ def _kernel(curve: CurveSpec, dead: int, S: int,
 
     k = keys_ref[0, 0]
     sgn = sgn_ref[0, 0] != 0
-    qx = [qx_ref[i, 0, 0] for i in range(L)]
-    qy = [qy_ref[i, 0, 0] for i in range(L)]
+    # The coordinate stream arrives bit-packed (two 15-bit limbs per u32,
+    # x rows then y rows) — HALF the gather volume of separate per-limb
+    # coordinate arrays, which dominates phase-A cost at large n.
+    qp = [q_ref[i, 0, 0] for i in range(2 * Lp)]
+
+    def unpack(rows):
+        limbs = []
+        for i in range(L):
+            w = rows[i // 2]
+            limbs.append((w >> np.uint32(16)) if i % 2 else
+                         (w & np.uint32(0xFFFF)))
+        return limbs
+
+    qx = unpack(qp[:Lp])
+    qy = unpack(qp[Lp:])
     qy = _select(sgn, _neg2p(f, qy), qy)
     ax = [accx[i] for i in range(L)]
     ay = [accy[i] for i in range(L)]
@@ -129,14 +143,28 @@ def _kernel(curve: CurveSpec, dead: int, S: int,
             tz_ref[0, i] = nz[i]
 
 
-def phase_a_scan_tiles(curve: CurveSpec, keys5, sgn5, qx5, qy5, dead: int,
+def pack_coords(spec: FieldSpec, px: jnp.ndarray,
+                py: jnp.ndarray) -> jnp.ndarray:
+    """Bit-pack affine coordinates for the phase-A gather: two 15-bit
+    limbs per u32 word, x rows then y rows -> (2*ceil(L/2), n)."""
+    L = spec.n_limbs
+    if L % 2:
+        pad = jnp.zeros((1,) + px.shape[1:], jnp.uint32)
+        px = jnp.concatenate([px, pad], axis=0)
+        py = jnp.concatenate([py, pad], axis=0)
+    pkx = px[0::2] | (px[1::2] << np.uint32(16))
+    pky = py[0::2] | (py[1::2] << np.uint32(16))
+    return jnp.concatenate([pkx, pky], axis=0)
+
+
+def phase_a_scan_tiles(curve: CurveSpec, keys5, sgn5, q5, dead: int,
                        interpret: bool = False):
     """Run the phase-A scan kernel on native tile layouts.
 
     keys5/sgn5: (S, T, 8, 128) uint32 — sorted digit / sign per element;
-    qx5/qy5: (L, S, T, 8, 128) gathered affine coordinates (sign NOT yet
-    applied — the kernel negates y where sgn5 is set).  T*1024 covers the
-    flattened (window, lane) space.  Returns raw tiles:
+    q5: (2*ceil(L/2), S, T, 8, 128) gathered ``pack_coords`` stream (sign
+    NOT yet applied — the kernel negates y where sgn5 is set).  T*1024
+    covers the flattened (window, lane) space.  Returns raw tiles:
 
       ekeys (S, T, 8, 128)       emitted run keys (dead = B)
       ex/ey/ez (S, T, L, 8, 128) emitted run sums
@@ -145,11 +173,12 @@ def phase_a_scan_tiles(curve: CurveSpec, keys5, sgn5, qx5, qy5, dead: int,
     """
     S, T = keys5.shape[:2]
     L = curve.fp.n_limbs
+    Lq = 2 * (-(-L // 2))
 
     grid = (T, S)
     kspec = pl.BlockSpec((1, 1, 8, 128), lambda t, s: (s, t, 0, 0),
                          memory_space=pltpu.VMEM)
-    qspec = pl.BlockSpec((L, 1, 1, 8, 128), lambda t, s: (0, s, t, 0, 0),
+    qspec = pl.BlockSpec((Lq, 1, 1, 8, 128), lambda t, s: (0, s, t, 0, 0),
                          memory_space=pltpu.VMEM)
     cspec = pl.BlockSpec((1, 1, L, 8, 128), lambda t, s: (s, t, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -175,11 +204,11 @@ def phase_a_scan_tiles(curve: CurveSpec, keys5, sgn5, qx5, qy5, dead: int,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[kspec, kspec, qspec, qspec],
+        in_specs=[kspec, kspec, qspec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=(
             [pltpu.VMEM((L, 8, 128), jnp.uint32)] * 3
             + [pltpu.VMEM((8, 128), jnp.uint32)]),
         interpret=interpret,
-    )(keys5, sgn5, qx5, qy5)
+    )(keys5, sgn5, q5)
