@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from panda_tpu.fields import codec
-from panda_tpu.fields.config import BN254_FR
+from panda_tpu.fields.config import BLS12_377_FR, BN254_FR
 from panda_tpu.ops import ntt as ntt_ops
 from panda_tpu.ops import ntt_mxu
 from panda_tpu.reference import ntt_ref
@@ -55,6 +55,20 @@ def test_mxu_ntt_matches_oracle(log_n, maxk):
     x = to_mont_limbs(spec, vals)
     out = jax.jit(lambda a: ntt_mxu.mxu_ntt(spec, a, log_n, maxk=maxk))(x)
     got = _decode(spec, out)
+    assert got == ntt_ref.ntt_oracle(spec, vals, spec.root_of_unity(log_n))
+
+
+def test_mxu_ntt_bls12_377():
+    """Second field exercises the fold-plan bounds for a different p."""
+    spec = BLS12_377_FR
+    log_n = 6
+    vals = [int(v) % spec.modulus
+            for v in np.random.default_rng(5).integers(1, 1 << 63,
+                                                       size=1 << log_n)]
+    x = to_mont_limbs(spec, vals)
+    out = jax.jit(lambda a: ntt_mxu.mxu_ntt(spec, a, log_n, maxk=3))(x)
+    got = [spec.from_mont_int(v) for v in codec.limbs_to_ints(
+        spec, np.asarray(out))]
     assert got == ntt_ref.ntt_oracle(spec, vals, spec.root_of_unity(log_n))
 
 
