@@ -203,8 +203,7 @@ def _fused_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int):
 @functools.lru_cache(maxsize=32)
 def _mxu_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int):
     from . import ntt_mxu
-    return jax.jit(functools.partial(
-        ntt_mxu.mxu_ntt, spec, log_n=log_n, inverse=inverse, omega=omega))
+    return ntt_mxu.mxu_ntt_jitted(spec, log_n, inverse, omega=omega)
 
 
 def _ntt_impl() -> str:

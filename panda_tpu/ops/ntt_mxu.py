@@ -100,8 +100,10 @@ class _FoldPlan:
         p = spec.modulus
         self.acc_bound = K * D * DIG_MAX * DIG_MAX        # per int32 digit
         assert self.acc_bound < (1 << 31), "int32 accumulator overflow"
-        limb_bound = self.acc_bound * (1 + (1 << DIG_BITS) +
-                                       (1 << (2 * DIG_BITS)))
+        # regroup: limb_i = a0 + (a1<<5) + ((a2 & 31)<<10) + (prev_a2>>5)
+        limb_bound = (self.acc_bound * (1 + (1 << DIG_BITS))
+                      + (DIG_MAX << (2 * DIG_BITS))
+                      + (self.acc_bound >> DIG_BITS) + 1)
         assert limb_bound < (1 << 32), "uint32 limb regroup overflow"
         self.value_bound = K * D * DIG_MAX * p
         # limbs needed to hold the carried value
@@ -146,15 +148,30 @@ def dft_apply(spec: FieldSpec, x: jnp.ndarray, log_k: int,
     acc = jnp.einsum("bi,ij->bj", d, mat,
                      preferred_element_type=jnp.int32)         # (nb, K*D)
     # --- regroup digits -> limbs (uint32, exact) --------------------------
+    # The third digit lands at bit 10 of limb i; only its low 5 bits fit —
+    # the rest spills into limb i+1.  This keeps every uint32 cell below
+    # 2^32 for any K the int32-accumulator bound admits (K=128 included).
     acc = acc.reshape(nb, K, L, DIG_PER_LIMB).astype(jnp.uint32)
+    a2 = acc[..., 2]
+    spill = jnp.concatenate(
+        [jnp.zeros_like(a2[..., :1]), a2[..., :-1] >> DIG_BITS], axis=-1)
     limbs = (acc[..., 0] + (acc[..., 1] << DIG_BITS)
-             + (acc[..., 2] << (2 * DIG_BITS)))                # (nb, K, L)
+             + ((a2 & DIG_MAX) << (2 * DIG_BITS)) + spill)     # (nb, K, L)
     limbs = limbs.transpose(2, 1, 0)                           # (L, K, nb)
+    # Spill out of the last limb's third digit lands at position L.  When
+    # the value bound fits L limbs it is provably zero (a nonzero word
+    # there would put the value >= 2^(15L)); otherwise it must be added.
+    spill_top = a2[..., -1].transpose(1, 0) >> DIG_BITS        # (K, nb)
     # --- carry-propagate over n_limbs_ext limbs ---------------------------
     out = []
     carry = jnp.zeros_like(limbs[0])
     for i in range(fp.n_limbs_ext):
-        s = (limbs[i] + carry) if i < L else carry
+        if i < L:
+            s = limbs[i] + carry
+        elif i == L:
+            s = spill_top + carry
+        else:
+            s = carry
         out.append(s & LIMB_MASK)
         carry = s >> LIMB_BITS
     # --- fold bits >= split against 2^(S+5j) mod p ------------------------
@@ -200,7 +217,7 @@ class MxuNttPlan:
     """
 
     def __init__(self, spec: FieldSpec, log_n: int, omega: int,
-                 maxk: int = 5, scale: int = 1):
+                 maxk: int = 7, scale: int = 1):
         self.spec = spec
         self.log_n = log_n
         self.levels = []
@@ -226,7 +243,7 @@ class MxuNttPlan:
 
 @functools.lru_cache(maxsize=16)
 def mxu_plan(spec: FieldSpec, log_n: int, inverse: bool = False,
-             maxk: int = 5, omega: int | None = None) -> MxuNttPlan:
+             maxk: int = 7, omega: int | None = None) -> MxuNttPlan:
     if omega is None:
         omega = spec.root_of_unity(log_n)
     scale = 1
@@ -241,19 +258,31 @@ def mxu_plan(spec: FieldSpec, log_n: int, inverse: bool = False,
         return MxuNttPlan(spec, log_n, omega, maxk, scale)
 
 
-def _transform(plan: MxuNttPlan, level: int, x: jnp.ndarray) -> jnp.ndarray:
+def plan_tables(plan: MxuNttPlan):
+    """The plan's device arrays as a pytree, for passing to a jitted
+    transform as ARGUMENTS.  Closing over them instead would embed them
+    as program constants — at 2^22 the top T1 table alone is ~300 MB,
+    bloating every compile (and overflowing remote-compile transports)."""
+    return (tuple((t1t, mat) for _, _, t1t, mat in plan.levels),
+            plan.leaf[1])
+
+
+def _transform(plan: MxuNttPlan, level: int, x: jnp.ndarray,
+               tables) -> jnp.ndarray:
     """NTT along axis 1 of (L, M, batch), natural in/out order.  Output
     limbs normalized, value < plan.{leaf,mid}_vb."""
     spec = plan.spec
+    lvl_tabs, leaf_mat = tables
     if level == len(plan.levels):
-        log_k, mat = plan.leaf
-        return dft_apply(spec, x, log_k, mat)
-    la, lb, t1t, mat = plan.levels[level]
+        log_k, _ = plan.leaf
+        return dft_apply(spec, x, log_k, leaf_mat)
+    la, lb, _, _ = plan.levels[level]
+    t1t, mat = lvl_tabs[level]
     A, B = 1 << la, 1 << lb
     L, M, batch = x.shape
     assert M == A * B
     # inner: length-B over j2
-    y = _transform(plan, level + 1, x.reshape(L, B, A * batch))
+    y = _transform(plan, level + 1, x.reshape(L, B, A * batch), tables)
     in_vb = plan.leaf_vb if level + 1 == len(plan.levels) else plan.mid_vb
     # four-step twiddle w^(j1*k2): variable per element -> VPU fmul
     y = y.reshape(L, B, A, batch)
@@ -267,8 +296,22 @@ def _transform(plan: MxuNttPlan, level: int, x: jnp.ndarray) -> jnp.ndarray:
     return dft_apply(spec, z, la, mat).reshape(L, A * B, batch)
 
 
+def apply_ntt(plan: MxuNttPlan, x: jnp.ndarray, tables) -> jnp.ndarray:
+    """Transform with explicit table arguments (see ``plan_tables``)."""
+    spec = plan.spec
+    n = 1 << plan.log_n
+    L = x.shape[0]
+    batch = x.shape[1:-1]
+    xb = x.reshape(L, -1, n)
+    xb = jnp.moveaxis(xb, 1, 2)                 # (L, n, nb)
+    y = _transform(plan, 0, xb, tables)
+    y = jnp.moveaxis(y, 2, 1).reshape((L,) + batch + (n,))
+    top_vb = (plan.mid_vb if plan.levels else plan.leaf_vb)
+    return mont.canonical(spec, mont.FE(y, 1 << LIMB_BITS, top_vb))
+
+
 def mxu_ntt(spec: FieldSpec, x: jnp.ndarray, log_n: int,
-            inverse: bool = False, maxk: int = 5,
+            inverse: bool = False, maxk: int = 7,
             omega: int | None = None) -> jnp.ndarray:
     """Full MXU NTT along the LAST axis of (L, *batch, n).
 
@@ -276,12 +319,13 @@ def mxu_ntt(spec: FieldSpec, x: jnp.ndarray, log_n: int,
     ``ops/ntt.py``'s contract bit-for-bit (INTT includes n^-1 scaling).
     """
     plan = mxu_plan(spec, log_n, inverse, maxk, omega)
-    n = 1 << log_n
-    L = x.shape[0]
-    batch = x.shape[1:-1]
-    xb = x.reshape(L, -1, n)
-    xb = jnp.moveaxis(xb, 1, 2)                 # (L, n, nb)
-    y = _transform(plan, 0, xb)
-    y = jnp.moveaxis(y, 2, 1).reshape((L,) + batch + (n,))
-    top_vb = (plan.mid_vb if plan.levels else plan.leaf_vb)
-    return mont.canonical(spec, mont.FE(y, 1 << LIMB_BITS, top_vb))
+    return apply_ntt(plan, x, plan_tables(plan))
+
+
+def mxu_ntt_jitted(spec: FieldSpec, log_n: int, inverse: bool = False,
+                   maxk: int = 7, omega: int | None = None):
+    """Jitted transform with tables passed as arguments (not constants)."""
+    plan = mxu_plan(spec, log_n, inverse, maxk, omega)
+    tables = plan_tables(plan)
+    jfn = jax.jit(functools.partial(apply_ntt, plan))
+    return lambda x: jfn(x, tables)

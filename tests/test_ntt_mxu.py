@@ -48,7 +48,7 @@ def test_dft_apply_matches_oracle(log_k):
     assert all(v < fp.out_vb for v in vals_int)
 
 
-@pytest.mark.parametrize("log_n,maxk", [(4, 3), (7, 3), (11, 5)])
+@pytest.mark.parametrize("log_n,maxk", [(4, 3), (7, 3), (11, 5), (9, 6)])
 def test_mxu_ntt_matches_oracle(log_n, maxk):
     spec = BN254_FR
     vals = _rand_vals(1 << log_n, 7 * log_n)
