@@ -40,23 +40,36 @@ def main():
     fp, fr = BN254.fp, BN254.fr
     rng = np.random.default_rng(20260816)
 
-    # Generate n distinct small multiples of G on host (cheap), then random
-    # scalars.  All device inputs are Montgomery limb arrays.
+    # Generate a pool of distinct small multiples of G on host (cheap) and
+    # a pool of full-range Montgomery scalars, then draw n columns from
+    # each with numpy takes — O(pool) Python big-int work instead of O(n),
+    # so 2^24-point benches build inputs in seconds.  All device inputs
+    # are Montgomery limb arrays.
     from panda_tpu.reference import curve_ref
+    POOL = min(n, 4096)
     table = []
     acc = None
     g = (BN254.gen_x, BN254.gen_y)
-    for _ in range(256):
+    for _ in range(POOL):
         acc = curve_ref.ec_add(BN254, acc, g)
         table.append(acc)
-    idx = rng.integers(256, size=n)
-    xs = [fp.to_mont_int(table[i][0]) for i in idx]
-    ys = [fp.to_mont_int(table[i][1]) for i in idx]
-    px = jnp.asarray(codec.ints_to_limbs(fp, xs))
-    py = jnp.asarray(codec.ints_to_limbs(fp, ys))
-    sv = [int(x) for x in rng.integers(1 << 62, size=n)]
-    scalars = jnp.asarray(codec.ints_to_limbs(
-        fr, [fr.to_mont_int(v) for v in sv]))
+    idx = rng.integers(POOL, size=n)
+    px_pool = codec.ints_to_limbs(fp, [fp.to_mont_int(x) for x, _ in table])
+    py_pool = codec.ints_to_limbs(fp, [fp.to_mont_int(y) for _, y in table])
+    px = jnp.asarray(np.take(px_pool, idx, axis=1))
+    py = jnp.asarray(np.take(py_pool, idx, axis=1))
+    # Scalar pool large enough that window digits stay ~uniform over the
+    # bucket range (distinct digit values >> 2^(c-1)).  FULL-RANGE scalars
+    # (the round-1 bench drew < 2^62, leaving most windows' digits zero —
+    # structurally easier sorts than a real prover workload).
+    import random as _random
+    SPOOL = min(n, 1 << 16)
+    _pr = _random.Random(20260816)
+    sv_pool = [_pr.randrange(fr.modulus) for _ in range(SPOOL)]
+    sc_pool = codec.ints_to_limbs(fr, [fr.to_mont_int(v) for v in sv_pool])
+    sidx = rng.integers(SPOOL, size=n)
+    sv = [sv_pool[i] for i in sidx]
+    scalars = jnp.asarray(np.take(sc_pool, sidx, axis=1))
 
     c = msm_ops.window_bits(LOG_N)
     ws = msm_ops.window_sums_fn(BN254, c)

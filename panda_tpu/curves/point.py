@@ -49,24 +49,19 @@ def _batch_size(shape) -> int:
 
 
 def _use_kernels(shape) -> bool:
-    import os
-    if os.environ.get("PANDA_PALLAS", "1") != "1":
-        return False
+    from ..ops import backend
     if _batch_size(shape) < _KERNEL_MIN_BATCH:
         return False
-    try:
-        import jax
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    return backend.kernels_enabled()
 
 
 def _via_kernel(kernel_fn, curve, arrays):
     """Flatten batch dims, run the point kernel, restore shapes."""
+    from ..ops import backend
     shape = arrays[0].shape
     L = shape[0]
     flat = [jnp.reshape(a, (L, -1)) for a in arrays]
-    out = kernel_fn(curve, flat)
+    out = kernel_fn(curve, flat, backend.interpret())
     return tuple(jnp.reshape(a, shape) for a in out)
 
 
@@ -132,7 +127,8 @@ def add(curve: CurveSpec, p: ProjPoint, q: ProjPoint) -> ProjPoint:
     if _use_kernels(p.x.shape):
         from ..ops import point_pallas
         return ProjPoint(*_via_kernel(
-            lambda c, flat: point_pallas.padd(c, flat[:3], flat[3:]),
+            lambda c, flat, ip: point_pallas.padd(
+                c, flat[:3], flat[3:], interpret=ip),
             curve, [*p, *q]))
     f = curve.fp
     M = lambda a, b: mont.mul(f, a, b)
@@ -167,7 +163,8 @@ def madd(curve: CurveSpec, p: ProjPoint, q: AffinePoint) -> ProjPoint:
     if _use_kernels(p.x.shape):
         from ..ops import point_pallas
         return ProjPoint(*_via_kernel(
-            lambda c, flat: point_pallas.pmadd(c, flat[:3], flat[3:]),
+            lambda c, flat, ip: point_pallas.pmadd(
+                c, flat[:3], flat[3:], interpret=ip),
             curve, [*p, *q]))
     f = curve.fp
     M = lambda a, b: mont.mul(f, a, b)
@@ -197,7 +194,7 @@ def dbl(curve: CurveSpec, p: ProjPoint) -> ProjPoint:
     if _use_kernels(p.x.shape):
         from ..ops import point_pallas
         return ProjPoint(*_via_kernel(
-            lambda c, flat: point_pallas.pdbl(c, flat),
+            lambda c, flat, ip: point_pallas.pdbl(c, flat, interpret=ip),
             curve, [*p]))
     f = curve.fp
     M = lambda a, b: mont.mul(f, a, b)

@@ -42,33 +42,36 @@ def _cond_sub_list(c_limbs, v):
 
 
 def _kernel(spec: FieldSpec, c: int, W: int, from_mont: bool, vb_in: int,
-            s_ref, mag_ref, neg_ref):
+            CH: int, s_ref, mag_ref, neg_ref):
     L = spec.n_limbs
-    s = [s_ref[0, i] for i in range(L)]
-    if from_mont:
-        one = LF([jnp.full((8, 128), np.uint32(x)) for x in spec.unity_limbs],
-                 1 << LIMB_BITS, 2)
-        red = _mul(spec, LF(s, 1 << LIMB_BITS, vb_in), one)
-        s = _cond_sub_list(spec.p_limbs, red.v)          # canonical [0, p)
     mask = np.uint32((1 << c) - 1)
     half = np.uint32(1 << (c - 1))
     full = np.uint32(1 << c)
-    carry = None
-    for w in range(W):
-        lo = w * c
-        i, sh = divmod(lo, LIMB_BITS)
-        if i >= L:
-            d = jnp.zeros((8, 128), jnp.uint32)
-        else:
-            d = s[i] >> np.uint32(sh)
-            if sh + c > LIMB_BITS and i + 1 < L:
-                d = d | (s[i + 1] << np.uint32(LIMB_BITS - sh))
-            d = d & mask
-        e = d if carry is None else d + carry
-        neg = e > half
-        mag_ref[0, w] = jnp.where(neg, full - e, e)
-        neg_ref[0, w] = neg.astype(jnp.uint32)
-        carry = neg.astype(jnp.uint32)
+    # CH independent scalar tiles per grid step (amortizes the per-step
+    # grid overhead, which otherwise dominates this small kernel).
+    for t in range(CH):
+        s = [s_ref[t, i] for i in range(L)]
+        if from_mont:
+            one = LF([jnp.full((8, 128), np.uint32(x))
+                      for x in spec.unity_limbs], 1 << LIMB_BITS, 2)
+            red = _mul(spec, LF(s, 1 << LIMB_BITS, vb_in), one)
+            s = _cond_sub_list(spec.p_limbs, red.v)      # canonical [0, p)
+        carry = None
+        for w in range(W):
+            lo = w * c
+            i, sh = divmod(lo, LIMB_BITS)
+            if i >= L:
+                d = jnp.zeros((8, 128), jnp.uint32)
+            else:
+                d = s[i] >> np.uint32(sh)
+                if sh + c > LIMB_BITS and i + 1 < L:
+                    d = d | (s[i + 1] << np.uint32(LIMB_BITS - sh))
+                d = d & mask
+            e = d if carry is None else d + carry
+            neg = e > half
+            mag_ref[t, w] = jnp.where(neg, full - e, e)
+            neg_ref[t, w] = neg.astype(jnp.uint32)
+            carry = neg.astype(jnp.uint32)
 
 
 def signed_digits(spec: FieldSpec, scalars: jnp.ndarray, c: int, W: int,
@@ -88,15 +91,16 @@ def signed_digits(spec: FieldSpec, scalars: jnp.ndarray, c: int, W: int,
     if vb_in * 1 > spec.r * spec.modulus:
         raise OverflowError("scalar value bound too large for reduction")
     T = n // 1024
+    CH = next(u for u in (16, 8, 4, 2, 1) if T % u == 0)
     tiles = jnp.transpose(scalars.reshape(L, T, 8, 128), (1, 0, 2, 3))
-    in_spec = pl.BlockSpec((1, L, 8, 128), lambda t: (t, 0, 0, 0),
+    in_spec = pl.BlockSpec((CH, L, 8, 128), lambda t: (t, 0, 0, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, W, 8, 128), lambda t: (t, 0, 0, 0),
+    out_spec = pl.BlockSpec((CH, W, 8, 128), lambda t: (t, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    kernel = functools.partial(_kernel, spec, c, W, from_mont, vb_in)
+    kernel = functools.partial(_kernel, spec, c, W, from_mont, vb_in, CH)
     mag, neg = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T // CH,),
         in_specs=[in_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((T, W, 8, 128), jnp.uint32),

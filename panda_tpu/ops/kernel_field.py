@@ -58,6 +58,80 @@ def _need16(spec: FieldSpec, a: LF) -> LF:
     return a if a.lb <= (1 << 16) else _norm(spec, a)
 
 
+def _need15(spec: FieldSpec, a: LF) -> LF:
+    """Normalize to sub-2^15 limbs when possible: products of two such
+    limbs are < 2^30, so the lazy column accumulator can take ~4 of them
+    between carry splits (the whole point of :class:`_Cols`).  Falls back
+    to sub-2^16 limbs when the value bound forbids normalization."""
+    if a.lb <= (1 << LIMB_BITS):
+        return a
+    if a.vb < spec.r:
+        return _norm(spec, a)
+    return _need16(spec, a)
+
+
+class _Cols:
+    """Lazy wide-column accumulator with static per-column max tracking.
+
+    Columns hold u32 tiles; full (unsplit) 30-bit limb products are added
+    directly and a column is carry-split (low 15 bits kept, the rest
+    folded into the next column) only when the next addition could
+    overflow u32.  For sub-2^15 operands this means one split per ~4
+    products instead of the classic lo/hi split per product — the
+    dominant op-count term of the Montgomery multiply drops from ~5 L^2
+    to ~3 L^2 vector ops.  Exactness is guaranteed statically: ``mx[k]``
+    is an inclusive bound on column k's value and every add asserts
+    headroom.
+    """
+
+    __slots__ = ("t", "mx")
+    _U32MAX = (1 << 32) - 1
+
+    def __init__(self, ncols: int):
+        self.t = [None] * ncols
+        self.mx = [0] * ncols
+
+    def split(self, k: int) -> None:
+        """Carry-split column k to < 2^15, folding the high part upward."""
+        if self.t[k] is None or self.mx[k] < (1 << LIMB_BITS):
+            return
+        self.add(k + 1, self.t[k] >> LIMB_BITS, self.mx[k] >> LIMB_BITS)
+        self.t[k] = self.t[k] & _MASK
+        self.mx[k] = (1 << LIMB_BITS) - 1
+
+    def add(self, k: int, x, xmx: int) -> None:
+        if self.t[k] is None:
+            self.t[k] = x
+            self.mx[k] = xmx
+            return
+        if self.mx[k] + xmx > self._U32MAX:
+            self.split(k)
+            assert self.mx[k] + xmx <= self._U32MAX, "column overflow"
+        self.t[k] = self.t[k] + x
+        self.mx[k] = self.mx[k] + xmx
+
+    def get(self, k: int, like):
+        return jnp.zeros_like(like) if self.t[k] is None else self.t[k]
+
+    def bound(self, k: int) -> int:
+        return self.mx[k]
+
+
+def _prod_into(cols: _Cols, a: LF, b: LF, off: int = 0,
+               tri: int | None = None) -> None:
+    """Accumulate the schoolbook product a*b into ``cols`` (shifted by
+    ``off`` columns; ``tri`` limits to output columns < tri, for the
+    triangular low-half products used by Montgomery reduction)."""
+    La, Lb = len(a.v), len(b.v)
+    amx, bmx = a.lb - 1, b.lb - 1
+    pmx = amx * bmx
+    for k in range(La + Lb - 1):
+        if tri is not None and k >= tri:
+            break
+        for i in range(max(0, k - Lb + 1), min(La, k + 1)):
+            cols.add(off + k, a.v[i] * b.v[k - i], pmx)
+
+
 def _add(spec: FieldSpec, a: LF, b: LF) -> LF:
     lb = a.lb + b.lb
     if lb > (1 << 30):
@@ -103,71 +177,69 @@ def _sub(spec: FieldSpec, a: LF, b: LF) -> LF:
                for x, y, ci in zip(a.v, b.v, c)], lb, vb)
 
 
-def _mul(spec: FieldSpec, a: LF, b: LF) -> LF:
-    """Montgomery product; output limbs < 2^15, value < 2p.  Column-sum
-    DAG with interleaved reduction — inside the kernel every accumulator
-    is a register/VMEM tile, so op count carries no fusion penalty."""
-    a = _need16(spec, a)
-    b = _need16(spec, b)
-    if a.vb * b.vb > spec.r * spec.modulus:
+def _reduce_cols(spec: FieldSpec, cols: _Cols, vb: int, like) -> LF:
+    """Interleaved Montgomery reduction of a lazy column accumulator
+    (value < vb <= R*p); output limbs < 2^15, value < 2p.
+
+    Column i's low 15 bits are exact mod 2^15 (columns never overflow
+    u32 by the _Cols invariant), so m_i = t_i * (-p^-1) mod 2^15 is
+    computable directly on the lazy accumulator; m_i * p_j products are
+    added UNSPLIT (each < 2^30) with splits only on demand — ~3 L^2
+    vector ops for the whole reduction instead of the classic ~5 L^2.
+    The final output reads columns L..2L-1: under the vb precondition
+    the value above column 2L-1 is provably zero (result < 2p << R), as
+    in the reference's deferred final reduction
+    (``/root/reference/src/cuda/core/field/field.cuh:139-247``).
+    """
+    if vb > spec.r * spec.modulus:
         raise OverflowError(f"{spec.name}: montmul bound overflow")
     L = spec.n_limbs
-    p_np = spec.p_limbs
+    p_int = [int(x) for x in spec.p_limbs]
     ninv = np.uint32(spec.neg_inv)
-    t = [None] * (2 * L + 1)
-
-    def acc(k, x):
-        t[k] = x if t[k] is None else t[k] + x
-
+    mm_mx = (1 << LIMB_BITS) - 1
     for i in range(L):
+        mm = (cols.get(i, like) * ninv) & _MASK
         for j in range(L):
-            prod = a.v[i] * b.v[j]
-            acc(i + j, prod & _MASK)
-            acc(i + j + 1, prod >> LIMB_BITS)
-    for i in range(L):
-        mm = (t[i] * ninv) & _MASK
-        for j in range(L):
-            pj = mm * np.uint32(p_np[j])
-            acc(i + j, pj & _MASK)
-            acc(i + j + 1, pj >> LIMB_BITS)
-        acc(i + 1, t[i] >> LIMB_BITS)
-    out, carry = [], None
+            cols.add(i + j, mm * np.uint32(p_int[j]), mm_mx * p_int[j])
+        # Retire column i: fold its (final) high part upward.  Its low 15
+        # bits are ≡ 0 mod 2^15 by choice of mm and are dropped.
+        cols.add(i + 1, cols.get(i, like) >> LIMB_BITS,
+                 cols.bound(i) >> LIMB_BITS)
+    out, carry, cmx = [], None, 0
     for j in range(L):
-        v = t[L + j] if carry is None else t[L + j] + carry
+        if cols.bound(L + j) + cmx > _Cols._U32MAX:
+            cols.split(L + j)
+        v = cols.get(L + j, like)
+        if carry is not None:
+            v = v + carry
         out.append(v & _MASK)
         carry = v >> LIMB_BITS
+        cmx = (cols.bound(L + j) + cmx) >> LIMB_BITS
     return LF(out, 1 << LIMB_BITS, 2 * spec.modulus)
 
 
-def _wide_cols(spec: FieldSpec, a: LF, b: LF) -> list:
-    """Schoolbook column sums of a*b: 2L+1 accumulators, each < 2L * 2^15
-    + 2L * 2^15 < 2^21 for L <= 32 (lo and hi half-products split per
-    term, exactly as in :func:`_mul`)."""
-    L = spec.n_limbs
-    t = [None] * (2 * L + 1)
-
-    def acc(k, x):
-        t[k] = x if t[k] is None else t[k] + x
-
-    for i in range(L):
-        for j in range(L):
-            prod = a.v[i] * b.v[j]
-            acc(i + j, prod & _MASK)
-            acc(i + j + 1, prod >> LIMB_BITS)
-    for k in range(2 * L + 1):
-        if t[k] is None:
-            t[k] = jnp.zeros_like(a.v[0])
-    return t
+def _mul(spec: FieldSpec, a: LF, b: LF) -> LF:
+    """Montgomery product; output limbs < 2^15, value < 2p.  Lazy
+    column-sum DAG (see :class:`_Cols`) with interleaved reduction —
+    inside the kernel every accumulator is a register/VMEM tile, so op
+    count carries no fusion penalty."""
+    a = _need15(spec, a)
+    b = _need15(spec, b)
+    cols = _Cols(2 * spec.n_limbs + 2)
+    _prod_into(cols, a, b)
+    return _reduce_cols(spec, cols, a.vb * b.vb, a.v[0])
 
 
 @functools.lru_cache(maxsize=None)
 def _wide_sub_const(spec: FieldSpec, vb: int):
-    """Multiple of p whose 2L+1 wide-column decomposition dominates the
-    column sums of any double-limb product with value < vb (the wide-domain
-    analog of :func:`_sub_const`).  Returns (column constants, value)."""
+    """Multiple of p whose canonical (sub-2^15) column decomposition
+    dominates any canonical-column value < vb.  Returns (column constants
+    over 2L+1 columns, value).  Used by :func:`_mul2`'s subtraction: the
+    subtrahend's columns are first carry-normalized to < 2^15, so
+    per-column dominance needs only min(2^15 - 1, vb >> 15k)."""
     L = spec.n_limbs
     ncols = 2 * L + 1
-    colmax = 2 * L * ((1 << LIMB_BITS) - 1)     # >= any _wide_cols column
+    colmax = (1 << LIMB_BITS) - 1
     m = [min(colmax, vb >> (LIMB_BITS * i)) for i in range(ncols)]
     val = sum(x << (LIMB_BITS * i) for i, x in enumerate(m))
     k = -(-val // spec.modulus)
@@ -181,46 +253,36 @@ def _wide_sub_const(spec: FieldSpec, vb: int):
     return tuple(int(x) for x in c), cval
 
 
-def _mont_reduce_cols(spec: FieldSpec, t: list, vb: int) -> LF:
-    """Interleaved Montgomery reduction of wide column accumulators
-    (value < vb <= R*p); output limbs < 2^15, value < 2p."""
-    if vb > spec.r * spec.modulus:
-        raise OverflowError(f"{spec.name}: wide reduction bound overflow")
-    L = spec.n_limbs
-    p_np = spec.p_limbs
-    ninv = np.uint32(spec.neg_inv)
-    for i in range(L):
-        mm = (t[i] * ninv) & _MASK
-        for j in range(L):
-            pj = mm * np.uint32(p_np[j])
-            t[i + j] = t[i + j] + (pj & _MASK)
-            t[i + j + 1] = t[i + j + 1] + (pj >> LIMB_BITS)
-        t[i + 1] = t[i + 1] + (t[i] >> LIMB_BITS)
-    out, carry = [], None
-    for j in range(L):
-        v = t[L + j] if carry is None else t[L + j] + carry
-        out.append(v & _MASK)
-        carry = v >> LIMB_BITS
-    return LF(out, 1 << LIMB_BITS, 2 * spec.modulus)
-
-
 def _mul2(spec: FieldSpec, a: LF, b: LF, c: LF, d: LF, sub: bool) -> LF:
     """Fused a*b +/- c*d with ONE Montgomery reduction (the reference pays
     two reductions plus a modular add for the same dataflow,
     ``field.cuh:488-563``; fusing saves ~L^2 multiplies per pair).  For
-    subtraction a wide multiple of p dominating c*d's columns is added so
-    no accumulator underflows."""
-    a, b, c, d = (_need16(spec, x) for x in (a, b, c, d))
-    t1 = _wide_cols(spec, a, b)
-    t2 = _wide_cols(spec, c, d)
+    subtraction, c*d's lazy columns are carry-normalized to < 2^15 and a
+    multiple of p dominating them column-wise is added so nothing
+    underflows."""
+    a, b, c, d = (_need15(spec, x) for x in (a, b, c, d))
+    L = spec.n_limbs
+    cols = _Cols(2 * L + 2)
+    _prod_into(cols, a, b)
     if sub:
-        cols, cval = _wide_sub_const(spec, c.vb * d.vb)
-        t = [x + np.uint32(k) - y for x, y, k in zip(t1, t2, cols)]
+        coly = _Cols(2 * L + 2)
+        _prod_into(coly, c, d)
+        # Normalize the subtrahend's columns to < 2^15 (one carry pass).
+        for k in range(2 * L + 1):
+            coly.split(k)
+        consts, cval = _wide_sub_const(spec, c.vb * d.vb)
+        for k in range(2 * L + 1):
+            y = coly.t[k]
+            if y is None and consts[k] == 0:
+                continue
+            term = (np.uint32(consts[k]) - y if y is not None
+                    else jnp.full_like(a.v[0], np.uint32(consts[k])))
+            cols.add(k, term, consts[k])
         vb = a.vb * b.vb + cval
     else:
-        t = [x + y for x, y in zip(t1, t2)]
+        _prod_into(cols, c, d)
         vb = a.vb * b.vb + c.vb * d.vb
-    return _mont_reduce_cols(spec, t, vb)
+    return _reduce_cols(spec, cols, vb, a.v[0])
 
 
 def _mul_small(spec: FieldSpec, a: LF, k: int) -> LF:

@@ -52,16 +52,10 @@ _INIT_KEY = np.uint32(0xFFFFFFFF)   # accumulator "no key yet" sentinel
 
 
 def _pallas_ok() -> bool:
-    """True when the fused Pallas kernels should run (TPU backend;
-    PANDA_PALLAS=0 forces the jnp/lax fallbacks, the implicit default
-    off-TPU where the kernels would need the slow interpreter)."""
-    import os
-    if os.environ.get("PANDA_PALLAS", "1") != "1":
-        return False
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    """True when the fused Pallas kernels should run (TPU backend, or
+    interpret mode for CPU testing — see ops/backend.py)."""
+    from . import backend
+    return backend.kernels_enabled()
 
 
 def _use_phase_a_kernel(W: int, m: int) -> bool:
@@ -177,6 +171,54 @@ def extract_signed_digits(fr: FieldSpec, scalars_std: jnp.ndarray, c: int):
     return jnp.stack(mags), jnp.stack(negs)
 
 
+def _cum_counts(digits: jnp.ndarray, D: int, n_real: int) -> jnp.ndarray:
+    """hi_b = #(digit <= b) per window, for b = 1..D — scatter-free.
+
+    ``digits``: (W, N) uint32 in [0, D] plus dead sentinels > D (ignored).
+    ``n_real``: count of non-dead entries per window (static).
+
+    Computed as a one-hot x one-hot int8 matmul histogram on the MXU plus
+    a cumsum — replacing per-target binary search (jnp.searchsorted runs
+    ~log2(N) serialized gather rounds per target: measured 292 ms vs
+    54 ms at W=16, N=2^20, D=2^15 on v5e).  The digit-minus-one trick
+    maps digit 0 and the dead sentinel out of every one-hot row, so the
+    zero bucket enters only through the closed-form ``count0``.
+    """
+    W, N = digits.shape
+    bins = 1 << max((D - 1).bit_length(), 1)          # power of two >= D
+    lo_bits = bins.bit_length() // 2
+    LO = 1 << lo_bits
+    HI = bins // LO
+    d1 = digits - np.uint32(1)                        # 0 wraps out of range
+    dh = (d1 >> np.uint32(lo_bits)).astype(jnp.int32)
+    dl = (d1 & np.uint32(LO - 1)).astype(jnp.int32)
+    A = (dh[:, None, :] == jnp.arange(HI, dtype=jnp.int32)[None, :, None]
+         ).astype(jnp.int8)                           # (W, HI, N)
+    B = (dl[:, :, None] == jnp.arange(LO, dtype=jnp.int32)[None, None, :]
+         ).astype(jnp.int8)                           # (W, N, LO)
+    cnt = jax.lax.dot_general(
+        A, B, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)             # (W, HI, LO)
+    hist = cnt.reshape(W, bins)[:, :D]                # #(digit == b), b=1..D
+    count0 = np.int32(n_real) - hist.sum(axis=1, keepdims=True)
+    return count0 + jnp.cumsum(hist, axis=1)          # (W, D) int32
+
+
+# Below this target count, per-target binary search beats the histogram
+# matmul (and tiny one-hot matmuls waste MXU tiles).
+_HIST_MIN_D = 512
+
+
+def _locate_runs(keys_sorted: jnp.ndarray, digits: jnp.ndarray, D: int,
+                 n_real: int) -> jnp.ndarray:
+    """Run-end positions hi_b (b = 1..D) in the sorted digit stream."""
+    if D < _HIST_MIN_D:
+        targets = jnp.arange(1, D + 1, dtype=jnp.uint32)
+        return jax.vmap(lambda k: jnp.searchsorted(
+            k, targets, side="right"))(keys_sorted).astype(jnp.int32)
+    return _cum_counts(digits, D, n_real)
+
+
 def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
                    signs=None):
     """Phase A for all windows at once: returns the dense bucket tables
@@ -212,15 +254,15 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
     sgn = sidx >> np.uint32(31)
     P = m * steps
     targets = jnp.arange(1, D + 1, dtype=jnp.uint32)    # buckets 1..D
-    locate = jax.vmap(lambda k: jnp.searchsorted(k, targets, side="right"))
     # A bucket's sorted run occupies ONE contiguous range [lo, hi), so its
     # final-lane segment is emitted at EXACTLY lane-major slot hi (the step
     # where the lane's key changes) — no sort of the emission stream is
-    # needed: hi_b = searchsorted(keys, b, 'right') turns the dense table
-    # build into a D-entry GATHER per window.  Lanes fully covered by a
-    # run, and runs ending exactly on a lane boundary, contribute through
-    # the per-lane tails instead.
-    hi = locate(keys).astype(jnp.int32)                 # (W, D) in [0, P]
+    # needed: hi_b = #(digit <= b) turns the dense table build into a
+    # D-entry GATHER per window.  Lanes fully covered by a run, and runs
+    # ending exactly on a lane boundary, contribute through the per-lane
+    # tails instead.  hi comes from the matmul histogram (_cum_counts),
+    # not per-target binary search.
+    hi = _locate_runs(keys, digits.astype(jnp.uint32), D, n)  # (W, D)
     slot = jnp.clip(hi, 0, P - 1)
     ident = cp.identity(curve, (W, D))
 
@@ -245,18 +287,33 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
         # largest phase-A cost at large n (measured ~60% at 2^20).
         pk = phase_a_pallas.pack_coords(curve.fp, px, py)
         q5 = jnp.take(pk, oi5, axis=1)         # (2*ceil(L/2), S, T, 8, 128)
-        ek5, ex5, ey5, ez5, tk4, tx4, ty4, tz4 = \
+        from . import backend
+        ek5, ep5, tk4, tx4, ty4, tz4 = \
             phase_a_pallas.phase_a_scan_tiles(
-                curve, tile_k(keys), tile_k(sgn), q5, int(B))
+                curve, tile_k(keys), tile_k(sgn), q5, int(B),
+                interpret=backend.interpret())
         # Interior pick straight off the kernel's native emission tiles.
+        # Emissions are bit-packed (two limbs per u32; x|y|z blocks of Lp
+        # rows) so the scattered pick reads HALF the planes.
         s_i = slot % steps
         j = jnp.arange(W, dtype=jnp.int32)[:, None] * m + slot // steps
         t_i, r = j // 1024, j % 1024
         sub, lane = r // 128, r % 128
         k_at = ek5[s_i, t_i, sub, lane]                 # (W, D)
         valid_i = (k_at == targets[None]) & ((hi % steps) != 0)
-        ipts = ProjPoint(*(jnp.moveaxis(a[s_i, t_i, :, sub, lane], -1, 0)
-                           for a in (ex5, ey5, ez5)))   # (L, W, D)
+        L = px.shape[0]
+        Lp = -(-L // 2)
+        epick = ep5[s_i, t_i, :, sub, lane]             # (W, D, 3*Lp)
+
+        def unpack(block):                              # (W, D, Lp)->(L, W, D)
+            w = jnp.moveaxis(block, -1, 0)              # (Lp, W, D)
+            return jnp.stack([w & np.uint32(0xFFFF),
+                              w >> np.uint32(16)],
+                             axis=1).reshape(2 * Lp, *w.shape[1:])[:L]
+
+        ipts = ProjPoint(unpack(epick[..., :Lp]),
+                         unpack(epick[..., Lp:2 * Lp]),
+                         unpack(epick[..., 2 * Lp:]))   # (L, W, D)
         tkeys = tk4.reshape(W, m)
 
         def tail_c(a):        # (T, L, 8, 128) -> (L, W, m)
@@ -320,7 +377,10 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
     tstarts = jnp.concatenate(
         [jnp.ones((W, 1), jnp.bool_), tkeys[:, 1:] != tkeys[:, :-1]], axis=1)
     tsum = red.segmented_prefix_scan(curve, tpts, tstarts, max_seg=m)
-    tpos = locate(tkeys).astype(jnp.int32) - 1          # (W, D), may be -1
+    # Lanes whose final element is padding carry the dead key: exactly
+    # m - n//steps of them (pad occupies the stream's tail), so the
+    # histogram's zero-bucket closed form must count only live lanes.
+    tpos = _locate_runs(tkeys, tkeys, D, n // steps) - 1  # (W, D), may be -1
     tslot = jnp.clip(tpos, 0, m - 1)
     tk_at = jnp.take_along_axis(tkeys, tslot, axis=1)
     valid_t = (tk_at == targets[None]) & (tpos >= 0)
@@ -446,10 +506,11 @@ def signed_digit_arrays(fr: FieldSpec, scalars, c: int,
     bit-identical fallback."""
     n = scalars.shape[-1]
     if n % 1024 == 0 and _pallas_ok():
-        from . import digits_pallas
+        from . import backend, digits_pallas
         W = signed_window_count(fr.bits, c)
         return digits_pallas.signed_digits(fr, scalars, c, W,
-                                           from_mont=scalars_in_mont)
+                                           from_mont=scalars_in_mont,
+                                           interpret=backend.interpret())
     s_std = mont.from_mont(fr, scalars) if scalars_in_mont else scalars
     return extract_signed_digits(fr, s_std, c)
 

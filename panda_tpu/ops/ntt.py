@@ -34,17 +34,12 @@ from ..fields.config import FieldSpec, int_to_limbs
 
 def _use_fmul(batch_elems: int) -> bool:
     """Route stage twiddle multiplies through the fused Pallas kernel on
-    TPU for large transforms (PANDA_PALLAS=0 opts out)."""
-    import os
-    if os.environ.get("PANDA_PALLAS", "1") != "1":
-        return False
+    TPU for large transforms (PANDA_PALLAS=0 opts out; see
+    ops/backend.py for the interpret test mode)."""
+    from . import backend
     if batch_elems < 4096:
         return False
-    try:
-        import jax as _jax
-        return _jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    return backend.kernels_enabled()
 
 
 class NttTables(NamedTuple):
@@ -129,8 +124,10 @@ def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, w_pows: jnp.ndarray,
                 from . import point_pallas
                 vn = mont.norm(spec, v)
                 tb = jnp.broadcast_to(tw_r, vn.v.shape).reshape(L, -1)
+                from . import backend
                 prod = point_pallas.fmul(spec, vn.v.reshape(L, -1), tb,
-                                         vb_a=vn.vb, vb_b=2 * spec.modulus)
+                                         vb_a=vn.vb, vb_b=2 * spec.modulus,
+                                         interpret=backend.interpret())
                 t = mont.FE(prod.reshape(vn.v.shape), 1 << 15,
                             2 * spec.modulus)
             else:

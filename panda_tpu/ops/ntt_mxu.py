@@ -199,10 +199,11 @@ def _vmul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray,
           vb_a: int, vb_b: int) -> jnp.ndarray:
     """Variable (elementwise) Montgomery multiply: fused Pallas kernel on
     TPU, bit-identical jnp path elsewhere."""
-    from .msm import _pallas_ok
-    if _pallas_ok() and a.shape[-1] % 1024 == 0:
+    from . import backend
+    if backend.kernels_enabled() and a.shape[-1] % 1024 == 0:
         from . import point_pallas
-        return point_pallas.fmul(spec, a, b, vb_a=vb_a, vb_b=vb_b)
+        return point_pallas.fmul(spec, a, b, vb_a=vb_a, vb_b=vb_b,
+                                 interpret=backend.interpret())
     return mont.mul(spec, mont.FE(a, 1 << LIMB_BITS, vb_a),
                     mont.FE(b, 1 << LIMB_BITS, vb_b)).v
 

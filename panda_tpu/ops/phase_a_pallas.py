@@ -71,31 +71,32 @@ def _neg2p(spec: FieldSpec, y):
     return out
 
 
-def _kernel(curve: CurveSpec, dead: int, S: int,
+def _pack_pairs(limbs):
+    """Limb list (< 2^16 each) -> half-length list, two limbs per u32."""
+    padded = list(limbs) + ([jnp.zeros_like(limbs[0])] if len(limbs) % 2
+                            else [])
+    return [padded[2 * i] | (padded[2 * i + 1] << np.uint32(16))
+            for i in range(len(padded) // 2)]
+
+
+def _kernel(curve: CurveSpec, dead: int, SB: int, U: int,
             keys_ref, sgn_ref, q_ref,
-            ekeys_ref, ex_ref, ey_ref, ez_ref,
+            ekeys_ref, ep_ref,
             tkeys_ref, tx_ref, ty_ref, tz_ref,
             accx, accy, accz, acck):
     f = curve.fp
     L = f.n_limbs
     Lp = -(-L // 2)
-    s = pl.program_id(1)
+    sb = pl.program_id(1)
     zero, one = _identity_lists(curve)
 
-    @pl.when(s == 0)
+    @pl.when(sb == 0)
     def _init():
         for i in range(L):
             accx[i] = zero[i]
             accy[i] = one[i]
             accz[i] = zero[i]
         acck[...] = jnp.full((8, 128), _INIT_KEY)
-
-    k = keys_ref[0, 0]
-    sgn = sgn_ref[0, 0] != 0
-    # The coordinate stream arrives bit-packed (two 15-bit limbs per u32,
-    # x rows then y rows) — HALF the gather volume of separate per-limb
-    # coordinate arrays, which dominates phase-A cost at large n.
-    qp = [q_ref[i, 0, 0] for i in range(2 * Lp)]
 
     def unpack(rows):
         limbs = []
@@ -105,42 +106,60 @@ def _kernel(curve: CurveSpec, dead: int, S: int,
                          (w & np.uint32(0xFFFF)))
         return limbs
 
-    qx = unpack(qp[:Lp])
-    qy = unpack(qp[Lp:])
-    qy = _select(sgn, _neg2p(f, qy), qy)
-    ax = [accx[i] for i in range(L)]
-    ay = [accy[i] for i in range(L)]
-    az = [accz[i] for i in range(L)]
-    akey = acck[...]
+    # U sequential scan steps per grid invocation: the VMEM-scratch
+    # accumulator round-trips and the per-step grid/pipelining overhead
+    # amortize over U madds (the madd itself is the compute floor).
+    for u in range(U):
+        k = keys_ref[u, 0]
+        sgn = sgn_ref[u, 0] != 0
+        # The coordinate stream arrives bit-packed (two 15-bit limbs per
+        # u32, x rows then y rows) — HALF the gather volume of separate
+        # per-limb coordinate arrays.
+        qp = [q_ref[i, u, 0] for i in range(2 * Lp)]
+        qx = unpack(qp[:Lp])
+        qy = unpack(qp[Lp:])
+        qy = _select(sgn, _neg2p(f, qy), qy)
+        if u == 0:
+            ax = [accx[i] for i in range(L)]
+            ay = [accy[i] for i in range(L)]
+            az = [accz[i] for i in range(L)]
+            akey = acck[...]
 
-    same = k == akey
-    emit = jnp.logical_not(same) & (akey != _INIT_KEY)
-    ekeys_ref[0, 0] = jnp.where(emit, akey, np.uint32(dead))
-    ex = _select(emit, ax, zero)
-    ey = _select(emit, ay, one)
-    ez = _select(emit, az, zero)
+        same = k == akey
+        emit = jnp.logical_not(same) & (akey != _INIT_KEY)
+        ekeys_ref[u, 0] = jnp.where(emit, akey, np.uint32(dead))
+        # Emissions are written bit-packed (two normalized 15-bit limbs
+        # per u32, x|y|z blocks of Lp rows) — HALF the HBM write volume
+        # of the emission stream AND half the scattered-gather planes for
+        # the downstream interior picks in msm._bucket_tables.
+        ex = _pack_pairs(_select(emit, ax, zero))
+        ey = _pack_pairs(_select(emit, ay, one))
+        ez = _pack_pairs(_select(emit, az, zero))
+        for i in range(Lp):
+            ep_ref[u, 0, i] = ex[i]
+            ep_ref[u, 0, Lp + i] = ey[i]
+            ep_ref[u, 0, 2 * Lp + i] = ez[i]
+
+        bx = _select(same, ax, zero)
+        by = _select(same, ay, one)
+        bz = _select(same, az, zero)
+        ax, ay, az = _madd(curve, bx, by, bz, qx, qy)
+        akey = k
+
     for i in range(L):
-        ex_ref[0, 0, i] = ex[i]
-        ey_ref[0, 0, i] = ey[i]
-        ez_ref[0, 0, i] = ez[i]
+        accx[i] = ax[i]
+        accy[i] = ay[i]
+        accz[i] = az[i]
+    acck[...] = akey
 
-    bx = _select(same, ax, zero)
-    by = _select(same, ay, one)
-    bz = _select(same, az, zero)
-    nx, ny, nz = _madd(curve, bx, by, bz, qx, qy)
-    for i in range(L):
-        accx[i] = nx[i]
-        accy[i] = ny[i]
-        accz[i] = nz[i]
-    acck[...] = k
-
-    @pl.when(s == S - 1)
+    @pl.when(sb == SB - 1)
     def _tails():
-        tkeys_ref[0] = jnp.where(k == np.uint32(dead), np.uint32(dead), k)
+        tkeys_ref[0] = jnp.where(akey == np.uint32(dead), np.uint32(dead),
+                                 akey)
         for i in range(L):
-            tx_ref[0, i] = nx[i]
-            ty_ref[0, i] = ny[i]
-            tz_ref[0, i] = nz[i]
+            tx_ref[0, i] = ax[i]
+            ty_ref[0, i] = ay[i]
+            tz_ref[0, i] = az[i]
 
 
 def pack_coords(spec: FieldSpec, px: jnp.ndarray,
@@ -166,21 +185,29 @@ def phase_a_scan_tiles(curve: CurveSpec, keys5, sgn5, q5, dead: int,
     NOT yet applied — the kernel negates y where sgn5 is set).  T*1024
     covers the flattened (window, lane) space.  Returns raw tiles:
 
-      ekeys (S, T, 8, 128)       emitted run keys (dead = B)
-      ex/ey/ez (S, T, L, 8, 128) emitted run sums
-      tkeys (T, 8, 128)          per-lane tail keys (dead = B)
-      tx/ty/tz (T, L, 8, 128)    per-lane tail accumulators
+      ekeys (S, T, 8, 128)        emitted run keys (dead = B)
+      ep (S, T, 3*Lp, 8, 128)     emitted run sums, bit-packed two 15-bit
+                                  limbs per u32 (x, y, z blocks of
+                                  Lp = ceil(L/2) rows each)
+      tkeys (T, 8, 128)           per-lane tail keys (dead = B)
+      tx/ty/tz (T, L, 8, 128)     per-lane tail accumulators
     """
     S, T = keys5.shape[:2]
     L = curve.fp.n_limbs
-    Lq = 2 * (-(-L // 2))
+    Lp = -(-L // 2)
+    Lq = 2 * Lp
 
-    grid = (T, S)
-    kspec = pl.BlockSpec((1, 1, 8, 128), lambda t, s: (s, t, 0, 0),
+    # Steps per grid invocation (VMEM-bounded; must divide S).
+    U = next(u for u in (8, 4, 2, 1) if S % u == 0)
+    SB = S // U
+
+    grid = (T, SB)
+    kspec = pl.BlockSpec((U, 1, 8, 128), lambda t, s: (s, t, 0, 0),
                          memory_space=pltpu.VMEM)
-    qspec = pl.BlockSpec((Lq, 1, 1, 8, 128), lambda t, s: (0, s, t, 0, 0),
+    qspec = pl.BlockSpec((Lq, U, 1, 8, 128), lambda t, s: (0, s, t, 0, 0),
                          memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((1, 1, L, 8, 128), lambda t, s: (s, t, 0, 0, 0),
+    pspec = pl.BlockSpec((U, 1, 3 * Lp, 8, 128),
+                         lambda t, s: (s, t, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     tk_spec = pl.BlockSpec((1, 8, 128), lambda t, s: (t, 0, 0),
                            memory_space=pltpu.VMEM)
@@ -188,19 +215,17 @@ def phase_a_scan_tiles(curve: CurveSpec, keys5, sgn5, q5, dead: int,
                            memory_space=pltpu.VMEM)
 
     out_shape = (
-        jax.ShapeDtypeStruct((S, T, 8, 128), jnp.uint32),      # ekeys
-        jax.ShapeDtypeStruct((S, T, L, 8, 128), jnp.uint32),   # ex
-        jax.ShapeDtypeStruct((S, T, L, 8, 128), jnp.uint32),   # ey
-        jax.ShapeDtypeStruct((S, T, L, 8, 128), jnp.uint32),   # ez
-        jax.ShapeDtypeStruct((T, 8, 128), jnp.uint32),         # tkeys
-        jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32),      # tx
-        jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32),      # ty
-        jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32),      # tz
+        jax.ShapeDtypeStruct((S, T, 8, 128), jnp.uint32),        # ekeys
+        jax.ShapeDtypeStruct((S, T, 3 * Lp, 8, 128), jnp.uint32),  # ep
+        jax.ShapeDtypeStruct((T, 8, 128), jnp.uint32),           # tkeys
+        jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32),        # tx
+        jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32),        # ty
+        jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32),        # tz
     )
-    out_specs = (kspec, cspec, cspec, cspec,
+    out_specs = (kspec, pspec,
                  tk_spec, tc_spec, tc_spec, tc_spec)
 
-    kernel = functools.partial(_kernel, curve, dead, S)
+    kernel = functools.partial(_kernel, curve, dead, SB, U)
     return pl.pallas_call(
         kernel,
         grid=grid,

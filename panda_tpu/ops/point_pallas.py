@@ -55,21 +55,23 @@ def _run(curve: CurveSpec, body, arrays, n_out: int = 3,
     P = T * _TILE
     tiled = [_to_tiles(_pad(a, P), T) for a in arrays]
 
-    spec = pl.BlockSpec((1, L, 8, 128), lambda t: (t, 0, 0, 0),
+    CH = next(u for u in (4, 2, 1) if T % u == 0)
+    spec = pl.BlockSpec((CH, L, 8, 128), lambda t: (t, 0, 0, 0),
                         memory_space=pltpu.VMEM)
 
     def kernel(*refs):
         ins = refs[:len(arrays)]
         outs = refs[len(arrays):]
-        vals = [[r[0, i] for i in range(L)] for r in ins]
-        res = body(curve, *vals)
-        for out_ref, coord in zip(outs, res):
-            for i in range(L):
-                out_ref[0, i] = coord[i]
+        for t in range(CH):
+            vals = [[r[t, i] for i in range(L)] for r in ins]
+            res = body(curve, *vals)
+            for out_ref, coord in zip(outs, res):
+                for i in range(L):
+                    out_ref[t, i] = coord[i]
 
     out = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T // CH,),
         in_specs=[spec] * len(arrays),
         out_specs=tuple([spec] * n_out),
         out_shape=tuple([jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32)]
@@ -106,21 +108,22 @@ def _identity_lists(curve: CurveSpec):
     return zero, one
 
 
-def _wscan_kernel(curve: CurveSpec, S: int,
+def _wscan_kernel(curve: CurveSpec, SB: int, U: int,
                   bx_ref, by_ref, bz_ref,
                   rx_ref, ry_ref, rz_ref, wx_ref, wy_ref, wz_ref,
                   *scratch):
     """Sequential 'run += B; wsum += run' scan with both accumulators in
     VMEM — the inner loop of the weighted bucket reduction
     (``ops/reduce.py::weighted_window_sum``) as ONE kernel instead of
-    2*steps pallas calls with HBM round-trips between them."""
+    2*steps pallas calls with HBM round-trips between them.  U steps run
+    per grid invocation to amortize grid overhead."""
     f = curve.fp
     L = f.n_limbs
-    s = pl.program_id(1)
+    sb = pl.program_id(1)
     runx, runy, runz, wsx, wsy, wsz = scratch
     zero, one = _identity_lists(curve)
 
-    @pl.when(s == 0)
+    @pl.when(sb == 0)
     def _init():
         for i in range(L):
             runx[i] = zero[i]
@@ -130,34 +133,35 @@ def _wscan_kernel(curve: CurveSpec, S: int,
             wsy[i] = one[i]
             wsz[i] = zero[i]
 
-    bx = [bx_ref[0, 0, i] for i in range(L)]
-    by = [by_ref[0, 0, i] for i in range(L)]
-    bz = [bz_ref[0, 0, i] for i in range(L)]
     rx = [runx[i] for i in range(L)]
     ry = [runy[i] for i in range(L)]
     rz = [runz[i] for i in range(L)]
-    nrx, nry, nrz = kf._padd(curve, rx, ry, rz, bx, by, bz)
     wx = [wsx[i] for i in range(L)]
     wy = [wsy[i] for i in range(L)]
     wz = [wsz[i] for i in range(L)]
-    nwx, nwy, nwz = kf._padd(curve, wx, wy, wz, nrx, nry, nrz)
+    for u in range(U):
+        bx = [bx_ref[u, 0, i] for i in range(L)]
+        by = [by_ref[u, 0, i] for i in range(L)]
+        bz = [bz_ref[u, 0, i] for i in range(L)]
+        rx, ry, rz = kf._padd(curve, rx, ry, rz, bx, by, bz)
+        wx, wy, wz = kf._padd(curve, wx, wy, wz, rx, ry, rz)
     for i in range(L):
-        runx[i] = nrx[i]
-        runy[i] = nry[i]
-        runz[i] = nrz[i]
-        wsx[i] = nwx[i]
-        wsy[i] = nwy[i]
-        wsz[i] = nwz[i]
+        runx[i] = rx[i]
+        runy[i] = ry[i]
+        runz[i] = rz[i]
+        wsx[i] = wx[i]
+        wsy[i] = wy[i]
+        wsz[i] = wz[i]
 
-    @pl.when(s == S - 1)
+    @pl.when(sb == SB - 1)
     def _out():
         for i in range(L):
-            rx_ref[0, i] = nrx[i]
-            ry_ref[0, i] = nry[i]
-            rz_ref[0, i] = nrz[i]
-            wx_ref[0, i] = nwx[i]
-            wy_ref[0, i] = nwy[i]
-            wz_ref[0, i] = nwz[i]
+            rx_ref[0, i] = rx[i]
+            ry_ref[0, i] = ry[i]
+            rz_ref[0, i] = rz[i]
+            wx_ref[0, i] = wx[i]
+            wy_ref[0, i] = wy[i]
+            wz_ref[0, i] = wz[i]
 
 
 def weighted_scan(curve: CurveSpec, bx, by, bz, interpret: bool = False):
@@ -177,16 +181,17 @@ def weighted_scan(curve: CurveSpec, bx, by, bz, interpret: bool = False):
         return jnp.transpose(a, (0, 1, 4, 2, 3))
 
     tiles = [to_sT(a) for a in (bx, by, bz)]
-    bspec = pl.BlockSpec((1, 1, L, 8, 128), lambda t, s: (s, t, 0, 0, 0),
+    U = next(u for u in (8, 4, 2, 1) if S % u == 0)
+    bspec = pl.BlockSpec((U, 1, L, 8, 128), lambda t, s: (s, t, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, L, 8, 128), lambda t, s: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     out_shape = tuple([jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32)] * 6)
 
-    kernel = functools.partial(_wscan_kernel, curve, S)
+    kernel = functools.partial(_wscan_kernel, curve, S // U, U)
     outs = pl.pallas_call(
         kernel,
-        grid=(T, S),
+        grid=(T, S // U),
         in_specs=[bspec] * 3,
         out_specs=tuple([ospec] * 6),
         out_shape=out_shape,
@@ -207,17 +212,18 @@ def weighted_scan(curve: CurveSpec, bx, by, bz, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _fmul_body(spec, vb_a, vb_b):
+def _fmul_body(spec, vb_a, vb_b, ch):
     from ..fields.config import LIMB_BITS
     from .kernel_field import LF, _mul
 
     def kernel(a_ref, b_ref, o_ref):
         L = spec.n_limbs
-        a = LF([a_ref[0, i] for i in range(L)], 1 << LIMB_BITS, vb_a)
-        b = LF([b_ref[0, i] for i in range(L)], 1 << LIMB_BITS, vb_b)
-        out = _mul(spec, a, b)
-        for i in range(L):
-            o_ref[0, i] = out.v[i]
+        for t in range(ch):
+            a = LF([a_ref[t, i] for i in range(L)], 1 << LIMB_BITS, vb_a)
+            b = LF([b_ref[t, i] for i in range(L)], 1 << LIMB_BITS, vb_b)
+            out = _mul(spec, a, b)
+            for i in range(L):
+                o_ref[t, i] = out.v[i]
     return kernel
 
 
@@ -235,11 +241,12 @@ def fmul(spec, a, b, vb_a: int | None = None, vb_b: int | None = None,
     P = T * _TILE
     at = _to_tiles(_pad(a, P), T)
     bt = _to_tiles(_pad(b, P), T)
-    spec_b = pl.BlockSpec((1, L, 8, 128), lambda t: (t, 0, 0, 0),
+    CH = next(u for u in (8, 4, 2, 1) if T % u == 0)
+    spec_b = pl.BlockSpec((CH, L, 8, 128), lambda t: (t, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _fmul_body(spec, vb_a, vb_b),
-        grid=(T,),
+        _fmul_body(spec, vb_a, vb_b, CH),
+        grid=(T // CH,),
         in_specs=[spec_b, spec_b],
         out_specs=spec_b,
         out_shape=jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32),

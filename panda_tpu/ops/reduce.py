@@ -182,9 +182,10 @@ def weighted_window_sum(curve: CurveSpec, buckets: ProjPoint) -> ProjPoint:
         # One fused kernel for the whole 'run += B; wsum += run' scan:
         # both accumulators stay in VMEM across the steps instead of
         # round-tripping HBM through 2*steps separate point-add calls.
-        from . import point_pallas
+        from . import backend, point_pallas
         flat = [a.reshape(L, batch * lanes, steps) for a in buckets]
-        run, wsum = point_pallas.weighted_scan(curve, *flat)
+        run, wsum = point_pallas.weighted_scan(curve, *flat,
+                                               interpret=backend.interpret())
         t = ProjPoint(*(a.reshape((L,) + lead + (lanes,)) for a in run))
         wsum = ProjPoint(*(a.reshape((L,) + lead + (lanes,)) for a in wsum))
     else:

@@ -1,0 +1,31 @@
+"""The matmul-histogram run locator vs the binary-search definition."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from panda_tpu.ops import msm as msm_ops
+
+
+def test_cum_counts_matches_searchsorted():
+    rng = np.random.default_rng(3)
+    W, n, D = 3, 5000, 1 << 11
+    # digits in [0, D] plus some dead sentinels D+1
+    digits = rng.integers(0, D + 1, size=(W, n)).astype(np.uint32)
+    got = np.asarray(msm_ops._cum_counts(jnp.asarray(digits), D, n))
+    keys = np.sort(digits, axis=1)
+    for w in range(W):
+        want = np.searchsorted(keys[w], np.arange(1, D + 1), side="right")
+        np.testing.assert_array_equal(got[w], want)
+
+
+def test_cum_counts_dead_and_zero():
+    rng = np.random.default_rng(4)
+    W, n, D = 2, 400, 1 << 10
+    digits = rng.integers(0, D + 1, size=(W, n + 37)).astype(np.uint32)
+    digits[:, n:] = D + 1                       # dead tail entries
+    digits[:, :50] = 0                          # heavy zero bucket
+    got = np.asarray(msm_ops._cum_counts(jnp.asarray(digits), D, n))
+    keys = np.sort(digits, axis=1)
+    for w in range(W):
+        want = np.searchsorted(keys[w], np.arange(1, D + 1), side="right")
+        np.testing.assert_array_equal(got[w], want)
