@@ -39,17 +39,24 @@ def test_window_sums_kernel_matches_fallback(rng, monkeypatch):
     n, c = 1024, 4                   # W * lanes = 64 * 256 — kernel-eligible
     pts, scalars, px, py, sc = _inputs(rng, n)
 
+    import jax
+
+    # Eager dispatch is pathologically slow; jit both paths (the kernel
+    # gating reads the env at TRACE time, so set it before each trace).
+    def pipeline(px, py, sc):
+        mags, negs = msm_ops.signed_digit_arrays(BN254.fr, sc, c)
+        return (mags, negs) + tuple(msm_ops.window_sums(
+            BN254, px, py, mags, c, signs=negs))
+
     monkeypatch.setenv("PANDA_PALLAS", "0")
-    mags, negs = msm_ops.signed_digit_arrays(BN254.fr, sc, c)
-    ref = tuple(np.asarray(a) for a in msm_ops.window_sums(
-        BN254, px, py, mags, c, signs=negs))
+    mags, negs, *ref = [np.asarray(a)
+                        for a in jax.jit(pipeline)(px, py, sc)]
 
     monkeypatch.setenv("PANDA_PALLAS", "interpret")
-    mags_k, negs_k = msm_ops.signed_digit_arrays(BN254.fr, sc, c)
-    np.testing.assert_array_equal(np.asarray(mags_k), np.asarray(mags))
-    np.testing.assert_array_equal(np.asarray(negs_k), np.asarray(negs))
-    got = tuple(np.asarray(a) for a in msm_ops.window_sums(
-        BN254, px, py, mags_k, c, signs=negs_k))
+    mags_k, negs_k, *got = [np.asarray(a)
+                            for a in jax.jit(pipeline)(px, py, sc)]
+    np.testing.assert_array_equal(mags_k, mags)
+    np.testing.assert_array_equal(negs_k, negs)
 
     # The kernel's fused _mul2 point formulas are equal mod p but not
     # bit-identical to the XLA path, so compare as curve points.
@@ -65,7 +72,7 @@ def test_window_sums_kernel_matches_fallback(rng, monkeypatch):
     # Oracle check of the full MSM through the Horner tail (sum of
     # scalar-weighted points; the pool structure keeps the oracle cheap:
     # sum per distinct point first).
-    total = msm_ops.host_horner(BN254, [a.transpose() for a in got], c)
+    total = msm_ops.host_horner(BN254, list(got), c)
     agg = {}
     for p, s in zip(pts, scalars):
         agg[p] = (agg.get(p, 0) + s) % BN254.fr.modulus
