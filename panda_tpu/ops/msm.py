@@ -96,18 +96,26 @@ def window_bits(log_n: int, bits: int = 254, lanes: int | None = None) -> int:
     work, pushing the optimum down.  Capped at 16 so a digit never spans
     more than two 15-bit limbs.
     """
-    n = 1 << log_n
-    best_c, best_cost = 4, None
-    for c in range(4, 17):
-        windows = signed_window_count(bits, c)
-        m = min(lanes or default_lanes(n, windows), n)
-        per_window = (n                                   # phase-A mixed adds
-                      + 3 * (1 << (c - 1))                # dense add + weighted
-                      + m * (m.bit_length() + 2))         # tail collapse
-        cost = windows * per_window
-        if best_cost is None or cost < best_cost:
-            best_c, best_cost = c, cost
-    return best_c
+    def best_for(log_n: int) -> int:
+        n = 1 << log_n
+        best_c, best_cost = 4, None
+        for c in range(4, 17):
+            windows = signed_window_count(bits, c)
+            m = min(lanes or default_lanes(n, windows), n)
+            per_window = (n                               # phase-A mixed adds
+                          + 3 * (1 << (c - 1))            # dense add + weighted
+                          + m * (m.bit_length() + 2))     # tail collapse
+            cost = windows * per_window
+            if best_cost is None or cost < best_cost:
+                best_c, best_cost = c, cost
+        return best_c
+
+    # Running max: the tail-collapse term makes the raw argmin dip briefly
+    # around k=9-12; larger problems never want narrower windows (the
+    # dips are within noise of each other, and monotone widths keep the
+    # compiled-shape cache small across size sweeps).
+    return max(best_for(k) for k in range(2, log_n + 1)) if log_n > 2 \
+        else best_for(log_n)
 
 
 def extract_digits(fr: FieldSpec, scalars_std: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -171,6 +179,11 @@ def extract_signed_digits(fr: FieldSpec, scalars_std: jnp.ndarray, c: int):
     return jnp.stack(mags), jnp.stack(negs)
 
 
+def _pack_words(curve: CurveSpec, px, py):
+    from . import phase_a_pallas
+    return phase_a_pallas.pack_coords_words(curve.fp, px, py)
+
+
 def _cum_counts(digits: jnp.ndarray, D: int, n_real: int) -> jnp.ndarray:
     """hi_b = #(digit <= b) per window, for b = 1..D — scatter-free.
 
@@ -220,7 +233,7 @@ def _locate_runs(keys_sorted: jnp.ndarray, digits: jnp.ndarray, D: int,
 
 
 def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
-                   signs=None):
+                   signs=None, pk=None):
     """Phase A for all windows at once: returns the dense bucket tables
     ProjPoint arrays (L, W, D) holding B_1..B_D per window, where
     D = 2^(c-1) with signed digits (``signs`` given; negative digits enter
@@ -281,12 +294,16 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
                                  (2, 0, 1)).reshape(steps, T, 8, 128)
 
         oi5 = tile_k(oi)
-        # ONE gather of the bit-packed coordinate stream (two 15-bit limbs
-        # per u32, x then y) — half the bytes of two per-limb coordinate
-        # gathers; the kernel unpacks at load.  The gather is the single
-        # largest phase-A cost at large n (measured ~60% at 2^20).
-        pk = phase_a_pallas.pack_coords(curve.fp, px, py)
-        q5 = jnp.take(pk, oi5, axis=1)         # (2*ceil(L/2), S, T, 8, 128)
+        # ONE row gather of the word-packed coordinate table ((n, W32)
+        # u64 rows, x and y as full 32-bit words): XLA's gather cost is
+        # per-index, so minimum-row-count u64 rows are ~1.5x faster than
+        # any plane-gather form (tools/profile_gather3-5); the lo/hi
+        # split + transpose back to word planes fuses in for free.  The
+        # gather is the single largest phase-A cost at large n.
+        if pk is None:
+            pk = phase_a_pallas.pack_coords_words(curve.fp, px, py)
+        q = jnp.take(pk, oi5, axis=0)          # (S, T, 8, 128, W32) u64
+        q5 = phase_a_pallas.split_words(q)     # (2*W32, S, T, 8, 128)
         from . import backend
         ek5, ep5, tk4, tx4, ty4, tz4 = \
             phase_a_pallas.phase_a_scan_tiles(
@@ -426,7 +443,10 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
     wg = _window_group_size(n, W)
     if wg >= W:
         m = min(lanes or default_lanes(n, W), n)
-        buckets = _bucket_tables(curve, px, py, digits, c, m, signs=signs)
+        pk = (_pack_words(curve, px, py) if _use_phase_a_kernel(W, m)
+              else None)
+        buckets = _bucket_tables(curve, px, py, digits, c, m, signs=signs,
+                                 pk=pk)
         sums = red.weighted_window_sum(curve, buckets)        # (L, W)
         return ProjPoint(*(jnp.transpose(a) for a in sums))   # (W, L)
 
@@ -441,11 +461,15 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
     sg = (signs.reshape(groups, wg, n) if signs is not None
           else jnp.zeros((groups, wg, n), jnp.bool_))
     m = min(lanes or default_lanes(n, wg), n)
+    # The packed gather table is digit-independent: build it ONCE outside
+    # the per-group scan body.
+    pk = _pack_words(curve, px, py) if _use_phase_a_kernel(wg, m) else None
 
     def body(_, inp):
         d, s = inp
         buckets = _bucket_tables(curve, px, py, d, c, m,
-                                 signs=s if signs is not None else None)
+                                 signs=s if signs is not None else None,
+                                 pk=pk)
         return None, tuple(red.weighted_window_sum(curve, buckets))
 
     _, out = jax.lax.scan(body, None, (dg, sg))               # (G, L, wg) x3

@@ -18,6 +18,15 @@ gathered stream.  Downstream consumers read the emission stream with
 tile-indexed gathers (see ``msm._bucket_tables``); nothing ever transposes
 an (S, T, L, 8, 128) array.
 
+The coordinate stream is gathered as (n, W32) u64 ROWS (x and y packed to
+full 32-bit words, ``pack_coords_words``): XLA's TPU gather cost is per
+INDEX, nearly independent of row bytes up to ~64 B, and u64 rows run
+~1.5x faster than the equivalent u32-plane gather (measured on v5e:
+109 ms vs 166-175 ms for W*n = 2^24 indices; see tools/profile_gather*).
+The lo/hi split + transpose back to limb-major tiles fuses into the
+gather for free.  The kernel unpacks 32-bit words -> 15-bit limbs at
+load (~4 vector ops per limb, noise next to the madd).
+
 Field/point math inside the kernel is a dedicated limb-list
 implementation (each limb one (8, 128) uint32 tile): Mosaic compiles
 straight-line vector code without the op-count blowup that forced the
@@ -79,6 +88,25 @@ def _pack_pairs(limbs):
             for i in range(len(padded) // 2)]
 
 
+def n_words32(spec: FieldSpec) -> int:
+    """u32 words per coordinate in the packed gather row: covers the
+    < 2p Montgomery coordinate class."""
+    return -(-(2 * spec.modulus - 1).bit_length() // 32)
+
+
+def _unpack_words(spec: FieldSpec, rows):
+    """W32 full 32-bit u32 word tiles -> n_limbs 15-bit limb tiles."""
+    W32 = len(rows)
+    limbs = []
+    for i in range(spec.n_limbs):
+        j, sh = divmod(LIMB_BITS * i, 32)
+        v = rows[j] >> np.uint32(sh) if sh else rows[j]
+        if sh > 32 - LIMB_BITS and j + 1 < W32:
+            v = v | (rows[j + 1] << np.uint32(32 - sh))
+        limbs.append(v & _MASK)
+    return limbs
+
+
 def _kernel(curve: CurveSpec, dead: int, SB: int, U: int,
             keys_ref, sgn_ref, q_ref,
             ekeys_ref, ep_ref,
@@ -87,6 +115,7 @@ def _kernel(curve: CurveSpec, dead: int, SB: int, U: int,
     f = curve.fp
     L = f.n_limbs
     Lp = -(-L // 2)
+    W32 = n_words32(f)
     sb = pl.program_id(1)
     zero, one = _identity_lists(curve)
 
@@ -98,26 +127,18 @@ def _kernel(curve: CurveSpec, dead: int, SB: int, U: int,
             accz[i] = zero[i]
         acck[...] = jnp.full((8, 128), _INIT_KEY)
 
-    def unpack(rows):
-        limbs = []
-        for i in range(L):
-            w = rows[i // 2]
-            limbs.append((w >> np.uint32(16)) if i % 2 else
-                         (w & np.uint32(0xFFFF)))
-        return limbs
-
     # U sequential scan steps per grid invocation: the VMEM-scratch
     # accumulator round-trips and the per-step grid/pipelining overhead
     # amortize over U madds (the madd itself is the compute floor).
     for u in range(U):
         k = keys_ref[u, 0]
         sgn = sgn_ref[u, 0] != 0
-        # The coordinate stream arrives bit-packed (two 15-bit limbs per
-        # u32, x rows then y rows) — HALF the gather volume of separate
-        # per-limb coordinate arrays.
-        qp = [q_ref[i, u, 0] for i in range(2 * Lp)]
-        qx = unpack(qp[:Lp])
-        qy = unpack(qp[Lp:])
+        # The coordinate stream arrives as full 32-bit words (x words then
+        # y words — the u64 row gather's lo/hi split): minimum per-index
+        # gather volume; unpacked to 15-bit limbs here.
+        qp = [q_ref[i, u, 0] for i in range(2 * W32)]
+        qx = _unpack_words(f, qp[:W32])
+        qy = _unpack_words(f, qp[W32:])
         qy = _select(sgn, _neg2p(f, qy), qy)
         if u == 0:
             ax = [accx[i] for i in range(L)]
@@ -164,8 +185,9 @@ def _kernel(curve: CurveSpec, dead: int, SB: int, U: int,
 
 def pack_coords(spec: FieldSpec, px: jnp.ndarray,
                 py: jnp.ndarray) -> jnp.ndarray:
-    """Bit-pack affine coordinates for the phase-A gather: two 15-bit
-    limbs per u32 word, x rows then y rows -> (2*ceil(L/2), n)."""
+    """Bit-pack affine coordinates: two 15-bit limbs per u32 word, x rows
+    then y rows -> (2*ceil(L/2), n).  (Plane-gather form; the phase-A
+    pipeline now uses :func:`pack_coords_words` — kept for tools/tests.)"""
     L = spec.n_limbs
     if L % 2:
         pad = jnp.zeros((1,) + px.shape[1:], jnp.uint32)
@@ -176,13 +198,60 @@ def pack_coords(spec: FieldSpec, px: jnp.ndarray,
     return jnp.concatenate([pkx, pky], axis=0)
 
 
+def _limbs_to_words(spec: FieldSpec, a: jnp.ndarray) -> list:
+    """(L, n) normalized 15-bit limbs -> W32 full 32-bit u32 word planes
+    (little-endian).  Limb bit-ranges are disjoint, so each word is an OR
+    of at most three shifted limbs."""
+    W32 = n_words32(spec)
+    words = []
+    for j in range(W32):
+        w = None
+        for i in range(spec.n_limbs):
+            lo, hi = LIMB_BITS * i, LIMB_BITS * i + LIMB_BITS
+            if hi <= 32 * j or lo >= 32 * j + 32:
+                continue
+            sh = lo - 32 * j
+            part = (a[i] << np.uint32(sh)) if sh >= 0 \
+                else (a[i] >> np.uint32(-sh))
+            w = part if w is None else (w | part)
+        words.append(w if w is not None else jnp.zeros_like(a[0]))
+    return words
+
+
+def pack_coords_words(spec: FieldSpec, px: jnp.ndarray,
+                      py: jnp.ndarray) -> jnp.ndarray:
+    """Pack affine coordinates into (n, W32) u64 gather ROWS.
+
+    Row layout: u64 word k = u32 word 2k | (u32 word 2k+1) << 32, over the
+    2*W32 u32 words [x_0..x_{W32-1}, y_0..y_{W32-1}] (full 32-bit packing
+    of each < 2p coordinate).  The row gather + lo/hi split is the fastest
+    per-point fetch XLA offers on TPU (see module docstring)."""
+    wx = _limbs_to_words(spec, px)
+    wy = _limbs_to_words(spec, py)
+    w = wx + wy                                   # 2*W32 planes of (n,)
+    lo = jnp.stack(w[0::2], axis=-1).astype(jnp.uint64)
+    hi = jnp.stack(w[1::2], axis=-1).astype(jnp.uint64)
+    return lo | (hi << np.uint64(32))             # (n, W32)
+
+
+def split_words(q: jnp.ndarray) -> jnp.ndarray:
+    """Gathered (S, T, 8, 128, W32) u64 rows -> (2*W32, S, T, 8, 128) u32
+    word planes (fuses into the gather — measured free on v5e)."""
+    S, T, sb, ln, Wu = q.shape
+    lo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    hi = (q >> np.uint64(32)).astype(jnp.uint32)
+    qq = jnp.stack([lo, hi], axis=-1).reshape(S, T, sb, ln, 2 * Wu)
+    return jnp.transpose(qq, (4, 0, 1, 2, 3))
+
+
 def phase_a_scan_tiles(curve: CurveSpec, keys5, sgn5, q5, dead: int,
                        interpret: bool = False):
     """Run the phase-A scan kernel on native tile layouts.
 
     keys5/sgn5: (S, T, 8, 128) uint32 — sorted digit / sign per element;
-    q5: (2*ceil(L/2), S, T, 8, 128) gathered ``pack_coords`` stream (sign
-    NOT yet applied — the kernel negates y where sgn5 is set).  T*1024
+    q5: (2*W32, S, T, 8, 128) gathered coordinate word planes
+    (``split_words`` of the ``pack_coords_words`` row gather; sign NOT yet
+    applied — the kernel negates y where sgn5 is set).  T*1024
     covers the flattened (window, lane) space.  Returns raw tiles:
 
       ekeys (S, T, 8, 128)        emitted run keys (dead = B)
@@ -195,7 +264,8 @@ def phase_a_scan_tiles(curve: CurveSpec, keys5, sgn5, q5, dead: int,
     S, T = keys5.shape[:2]
     L = curve.fp.n_limbs
     Lp = -(-L // 2)
-    Lq = 2 * Lp
+    Lq = 2 * n_words32(curve.fp)
+    assert q5.shape[0] == Lq, (q5.shape, Lq)
 
     # Steps per grid invocation (VMEM-bounded; must divide S).
     U = next(u for u in (8, 4, 2, 1) if S % u == 0)

@@ -111,11 +111,14 @@ def main():
                              (2, 0, 1)).reshape(steps, T, 8, 128)
 
     # --- gather ----------------------------------------------------------
-    def do_gather(px, py, oi):
-        pk = phase_a_pallas.pack_coords(fp, px, py)
-        return jnp.take(pk, tile_k(oi), axis=1)
+    pk = jax.block_until_ready(jax.jit(
+        lambda a, b: phase_a_pallas.pack_coords_words(fp, a, b))(px, py))
 
-    t, q5 = timed(jax.jit(do_gather), px, py, oi)
+    def do_gather(pk, oi):
+        q = jnp.take(pk, tile_k(oi), axis=0)
+        return phase_a_pallas.split_words(q)
+
+    t, q5 = timed(jax.jit(do_gather), pk, oi)
     print(f"gather   {t * 1e3:9.2f} ms   ({q5.size * 4 / 1e9:.2f} GB out)")
 
     # --- phase-A kernel --------------------------------------------------
