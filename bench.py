@@ -1,11 +1,22 @@
-"""Headline benchmark: BN254 Pippenger MSM throughput on the local device.
+"""Headline benchmark: BN254 MSM + NTT throughput on the local device.
 
 Prints exactly ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 The reference (JasonHopeSpace/panda) publishes no numbers (BASELINE.md), so
-``vs_baseline`` is the ratio against the recorded first-round figure in
+``vs_baseline`` is the ratio against the recorded same-size figure in
 ``BENCH_HISTORY.json`` when present, else 1.0.
+
+Correctness gates (always on unless PANDA_BENCH_CHECK=0) — a failed gate
+is a FAILED BENCH (rc != 0), by design (round-2 verdict: an rc!=0 bench
+means a broken build, never ship on top of one):
+  1. an independent small-k slice through the SAME pipeline entry vs the
+     Python big-int oracle (catches corruptions that a same-input
+     cross-check would share);
+  2. the headline-size result cross-checked against a run with a
+     different window width (entirely different digit/bucket split);
+  3. NTT: bit-exact INTT(NTT(x)) == x roundtrip at headline size plus a
+     small forward transform vs a naive O(n^2) big-int oracle.
 """
 
 import json
@@ -19,39 +30,33 @@ import numpy as np
 
 # Set directly on the config: a sitecustomize may have imported jax before
 # this script runs, in which case env vars are read too late.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cc_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 LOG_N = int(os.environ.get("PANDA_BENCH_LOG_N", "20"))
+LOG_NTT = int(os.environ.get("PANDA_BENCH_NTT_LOG_N", "20"))
 REPS = int(os.environ.get("PANDA_BENCH_REPS", "3"))
+CHECK = os.environ.get("PANDA_BENCH_CHECK", "1") == "1"
 HIST = pathlib.Path(__file__).resolve().parent / "BENCH_HISTORY.json"
 
 
-def main():
-    import jax
+def _build_inputs(curve, n, rng, seed):
+    """Pool-structured random inputs: O(pool) host big-int work, O(n)
+    numpy takes — 2^24-point benches build in seconds.  Returns device
+    Montgomery limb arrays plus the plain-int views the oracle needs."""
     import jax.numpy as jnp
 
-    from panda_tpu.curves.config import BN254
     from panda_tpu.fields import codec
-    from panda_tpu.ops import msm as msm_ops
-
-    n = 1 << LOG_N
-    fp, fr = BN254.fp, BN254.fr
-    rng = np.random.default_rng(20260816)
-
-    # Generate a pool of distinct small multiples of G on host (cheap) and
-    # a pool of full-range Montgomery scalars, then draw n columns from
-    # each with numpy takes — O(pool) Python big-int work instead of O(n),
-    # so 2^24-point benches build inputs in seconds.  All device inputs
-    # are Montgomery limb arrays.
     from panda_tpu.reference import curve_ref
+
+    fp, fr = curve.fp, curve.fr
     POOL = min(n, 4096)
     table = []
     acc = None
-    g = (BN254.gen_x, BN254.gen_y)
+    g = (curve.gen_x, curve.gen_y)
     for _ in range(POOL):
-        acc = curve_ref.ec_add(BN254, acc, g)
+        acc = curve_ref.ec_add(curve, acc, g)
         table.append(acc)
     idx = rng.integers(POOL, size=n)
     px_pool = codec.ints_to_limbs(fp, [fp.to_mont_int(x) for x, _ in table])
@@ -59,67 +64,168 @@ def main():
     px = jnp.asarray(np.take(px_pool, idx, axis=1))
     py = jnp.asarray(np.take(py_pool, idx, axis=1))
     # Scalar pool large enough that window digits stay ~uniform over the
-    # bucket range (distinct digit values >> 2^(c-1)).  FULL-RANGE scalars
-    # (the round-1 bench drew < 2^62, leaving most windows' digits zero —
-    # structurally easier sorts than a real prover workload).
+    # bucket range (distinct digit values >> 2^(c-1)); FULL-RANGE scalars.
     import random as _random
     SPOOL = min(n, 1 << 16)
-    _pr = _random.Random(20260816)
+    _pr = _random.Random(seed)
     sv_pool = [_pr.randrange(fr.modulus) for _ in range(SPOOL)]
     sc_pool = codec.ints_to_limbs(fr, [fr.to_mont_int(v) for v in sv_pool])
     sidx = rng.integers(SPOOL, size=n)
     sv = [sv_pool[i] for i in sidx]
     scalars = jnp.asarray(np.take(sc_pool, sidx, axis=1))
+    pts = [table[i] for i in idx]
+    return px, py, scalars, pts, sv
 
-    c = msm_ops.window_bits(LOG_N)
-    ws = msm_ops.window_sums_fn(BN254, c)
+
+def _msm_run_fn(curve, c):
+    import jax.numpy as jnp
+
+    from panda_tpu.ops import msm as msm_ops
+
+    ws = msm_ops.window_sums_fn(curve, c)
     # One stacked output -> one device->host fetch; the ~bits sequential
     # doublings of the Horner tail are host work (microseconds in big-int,
     # pure latency on an accelerator), exactly like the reference's split
     # (msm_cuda.cuh:738-743).
     fn = jax.jit(lambda a, b, s: jnp.stack(ws(a, b, s)))
 
-    def run():
+    def run(px, py, scalars):
         sums = np.asarray(fn(px, py, scalars))           # (3, W, L)
-        return msm_ops.host_horner(BN254, list(sums), c)
+        return msm_ops.host_horner(curve, list(sums), c)
 
-    res = run()                            # compile + warm-up
+    return run
 
-    # Guard: the timed artifact must be the correct MSM result.  Up to
-    # 2^16 the Python big-int oracle is affordable; above that, require
-    # agreement with an independently parameterized run (different window
-    # width -> entirely different digit/bucket decomposition).
-    if os.environ.get("PANDA_BENCH_CHECK", "1") == "1":
+
+def bench_msm(curve, extras):
+    from panda_tpu.ops import msm as msm_ops
+    from panda_tpu.reference import curve_ref
+
+    n = 1 << LOG_N
+    rng = np.random.default_rng(20260816)
+    px, py, scalars, pts, sv = _build_inputs(curve, n, rng, 20260816)
+
+    c = msm_ops.window_bits(LOG_N)
+    run = _msm_run_fn(curve, c)
+    res = run(px, py, scalars)             # compile + warm-up
+
+    if CHECK:
+        # Gate 1: independent small-k full-oracle slice through the SAME
+        # pipeline (fresh inputs, not a slice of the timed arrays).
+        ko = min(LOG_N, 12)
+        rng2 = np.random.default_rng(7)
+        spx, spy, ssc, spts, ssv = _build_inputs(curve, 1 << ko, rng2, 7)
+        co = msm_ops.window_bits(ko)
+        sres = _msm_run_fn(curve, co)(spx, spy, ssc)
+        agg = {}
+        for p, s in zip(spts, ssv):
+            agg[p] = (agg.get(p, 0) + s) % curve.fr.modulus
+        sexp = curve_ref.msm_oracle(curve, list(agg), list(agg.values()))
+        assert sres == sexp, f"small-k oracle slice failed (2^{ko}, c={co})"
+        extras["msm_oracle_slice"] = f"2^{ko} ok"
+
+        # Gate 2: headline result vs full oracle (small) or an
+        # independently parameterized run (different window width ->
+        # entirely different digit/bucket decomposition).
         if LOG_N <= 16:
-            exp = curve_ref.msm_oracle(BN254, [table[i] for i in idx], sv)
+            agg = {}
+            for p, s in zip(pts, sv):
+                agg[p] = (agg.get(p, 0) + s) % curve.fr.modulus
+            exp = curve_ref.msm_oracle(curve, list(agg), list(agg.values()))
         else:
             c2 = c - 1 if c > 4 else c + 1
-            ws2 = msm_ops.window_sums_fn(BN254, c2)
-            fn2 = jax.jit(lambda a, b, s: jnp.stack(ws2(a, b, s)))
-            sums2 = np.asarray(fn2(px, py, scalars))
-            exp = msm_ops.host_horner(BN254, list(sums2), c2)
+            exp = _msm_run_fn(curve, c2)(px, py, scalars)
         assert res == exp, "bench result != oracle"
 
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
-        run()
+        run(px, py, scalars)
         best = min(best, time.perf_counter() - t0)
+    return n / best                         # points per second
 
-    value = n / best                        # points per second
+
+def bench_ntt(curve, extras):
+    import jax.numpy as jnp
+
+    from panda_tpu.fields import codec
+    from panda_tpu.ops import ntt as ntt_ops
+
+    fr = curve.fr
+    n = 1 << LOG_NTT
+    rng = np.random.default_rng(3)
+    # Random Montgomery-form field elements (uniform canonical values via
+    # a pooled big-int draw + numpy take).
+    import random as _random
+    _pr = _random.Random(3)
+    POOL = min(n, 1 << 14)
+    pool_vals = [_pr.randrange(fr.modulus) for _ in range(POOL)]
+    pool = codec.ints_to_limbs(fr, [fr.to_mont_int(v) for v in pool_vals])
+    idx = rng.integers(POOL, size=n)
+    x = jnp.asarray(np.take(pool, idx, axis=1))
+
+    tables = ntt_ops.make_tables(fr, LOG_NTT)
+    fwd = lambda a: ntt_ops.run_ntt(fr, a, tables, inverse=False)
+    inv = lambda a: ntt_ops.run_ntt(fr, a, tables, inverse=True)
+    y = jax.block_until_ready(fwd(x))       # compile + warm
+
+    if CHECK:
+        # Gate 3a: bit-exact roundtrip at headline size.  run_ntt
+        # canonicalizes, so the roundtrip of canonical input is exact.
+        back = np.asarray(inv(y))
+        x_can = np.asarray(x)
+        assert (back == x_can).all(), "NTT/INTT roundtrip mismatch"
+        # Gate 3b: small forward transform vs naive big-int oracle.
+        kn = 8
+        sx_vals = [_pr.randrange(fr.modulus) for _ in range(1 << kn)]
+        sx = jnp.asarray(codec.ints_to_limbs(
+            fr, [fr.to_mont_int(v) for v in sx_vals]))
+        st = ntt_ops.make_tables(fr, kn)
+        sy = np.asarray(ntt_ops.run_ntt(fr, sx, st, inverse=False))
+        got = codec.limbs_to_ints(fr, sy)
+        rinv = pow(fr.r, -1, fr.modulus)
+        got = [v * rinv % fr.modulus for v in got]
+        w = st.omega
+        m = fr.modulus
+        npow = [pow(w, i, m) for i in range(1 << kn)]
+        exp = [sum(sx_vals[j] * npow[(i * j) % (1 << kn)] for j in
+                   range(1 << kn)) % m for i in range(1 << kn)]
+        assert got == exp, "small NTT != naive oracle"
+        extras["ntt_oracle_slice"] = f"2^{kn} ok, roundtrip 2^{LOG_NTT} ok"
+
+    best = float("inf")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fwd(x))
+        best = min(best, time.perf_counter() - t0)
+    return n / best                         # elements per second
+
+
+def main():
+    from panda_tpu.curves.config import BN254
+
+    extras = {}
+    msm_ps = bench_msm(BN254, extras)
+    ntt_ps = bench_ntt(BN254, extras)
+    extras["ntt_metric"] = f"bn254_ntt_2^{LOG_NTT}_throughput"
+    extras["ntt_value"] = round(ntt_ps, 1)
+    extras["ntt_unit"] = "elements/s"
+
     vs = 1.0
     if HIST.exists():
         try:
-            base = json.loads(HIST.read_text()).get("msm_points_per_s")
+            hist = json.loads(HIST.read_text())
+            base = hist.get(f"msm_points_per_s_2^{LOG_N}") \
+                or hist.get("msm_points_per_s")
             if base:
-                vs = value / base
+                vs = msm_ps / base
         except Exception:
             pass
     print(json.dumps({
         "metric": f"bn254_msm_2^{LOG_N}_throughput",
-        "value": round(value, 1),
+        "value": round(msm_ps, 1),
         "unit": "points/s",
         "vs_baseline": round(vs, 4),
+        **extras,
     }))
 
 

@@ -15,10 +15,38 @@ Three modes, selected by the PANDA_PALLAS environment variable:
 
 from __future__ import annotations
 
+import contextlib
 import os
+
+# Trace-time override (see ``forced``).  The env gate is read when a
+# pipeline is TRACED, and jax's jit cache is keyed on the function object
+# and argument shapes only — flipping the env var between two traces of
+# the same callable silently reuses the first executable.  Pipeline entry
+# points therefore thread an explicit ``kernels`` argument and pin it
+# here for the duration of their trace, so every nested gate (point
+# kernels, reductions, digit recode) sees ONE coherent mode.
+_FORCED: str | None = None
+
+
+@contextlib.contextmanager
+def forced(m: str | None):
+    """Pin the kernel mode for the enclosed trace; None is a no-op."""
+    global _FORCED
+    if m is None:
+        yield
+        return
+    assert m in ("on", "off", "interpret"), m
+    prev = _FORCED
+    _FORCED = m
+    try:
+        yield
+    finally:
+        _FORCED = prev
 
 
 def mode() -> str:
+    if _FORCED is not None:
+        return _FORCED
     v = os.environ.get("PANDA_PALLAS", "1")
     if v == "interpret":
         return "interpret"

@@ -51,15 +51,27 @@ from . import reduce as red
 _INIT_KEY = np.uint32(0xFFFFFFFF)   # accumulator "no key yet" sentinel
 
 
-def _pallas_ok() -> bool:
-    """True when the fused Pallas kernels should run (TPU backend, or
-    interpret mode for CPU testing — see ops/backend.py)."""
+def _mode(kernels: str | None) -> str:
+    """Resolve the kernel mode: an explicit argument wins; None falls back
+    to the PANDA_PALLAS env gate (ops/backend.py).
+
+    The mode is threaded through the pipeline as an EXPLICIT argument
+    (``kernels`` in {"on", "off", "interpret", None}) rather than read
+    from the environment at trace time: jax's jit trace cache is keyed on
+    the function object and argument shapes only, so an env flip between
+    two traces of the same callable silently returns the first
+    executable — which made env-based kernel-vs-fallback A/B tests
+    compare a path with itself (round-2 verdict, tests/test_msm_kernels).
+    """
+    if kernels is not None:
+        assert kernels in ("on", "off", "interpret"), kernels
+        return kernels
     from . import backend
-    return backend.kernels_enabled()
+    return backend.mode()
 
 
-def _use_phase_a_kernel(W: int, m: int) -> bool:
-    return (W * m) % 1024 == 0 and _pallas_ok()
+def _use_phase_a_kernel(W: int, m: int, mode: str) -> bool:
+    return (W * m) % 1024 == 0 and mode != "off"
 
 
 def default_lanes(n: int, windows: int = 1) -> int:
@@ -233,7 +245,7 @@ def _locate_runs(keys_sorted: jnp.ndarray, digits: jnp.ndarray, D: int,
 
 
 def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
-                   signs=None, pk=None):
+                   signs=None, pk=None, kernels: str | None = None):
     """Phase A for all windows at once: returns the dense bucket tables
     ProjPoint arrays (L, W, D) holding B_1..B_D per window, where
     D = 2^(c-1) with signed digits (``signs`` given; negative digits enter
@@ -279,7 +291,8 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
     slot = jnp.clip(hi, 0, P - 1)
     ident = cp.identity(curve, (W, D))
 
-    if _use_phase_a_kernel(W, m):
+    mode = _mode(kernels)
+    if _use_phase_a_kernel(W, m, mode):
         from . import phase_a_pallas
         # Blocked lanes: lane q of window w owns sorted positions
         # [q*steps, (q+1)*steps); flat lane j = w*m + q maps to tile
@@ -294,21 +307,20 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
                                  (2, 0, 1)).reshape(steps, T, 8, 128)
 
         oi5 = tile_k(oi)
-        # ONE row gather of the word-packed coordinate table ((n, W32)
-        # u64 rows, x and y as full 32-bit words): XLA's gather cost is
-        # per-index, so minimum-row-count u64 rows are ~1.5x faster than
-        # any plane-gather form (tools/profile_gather3-5); the lo/hi
-        # split + transpose back to word planes fuses in for free.  The
+        # ONE row gather of the word-packed coordinate table
+        # ((n, 2*W32) u32 rows, x and y as full 32-bit words): XLA's
+        # gather cost is per-index, so single-row gathers are ~1.5x
+        # faster than any plane-gather form (tools/profile_gather3-5);
+        # the transpose back to word planes fuses in for free.  The
         # gather is the single largest phase-A cost at large n.
         if pk is None:
             pk = phase_a_pallas.pack_coords_words(curve.fp, px, py)
-        q = jnp.take(pk, oi5, axis=0)          # (S, T, 8, 128, W32) u64
+        q = jnp.take(pk, oi5, axis=0)          # (S, T, 8, 128, 2*W32)
         q5 = phase_a_pallas.split_words(q)     # (2*W32, S, T, 8, 128)
-        from . import backend
         ek5, ep5, tk4, tx4, ty4, tz4 = \
             phase_a_pallas.phase_a_scan_tiles(
                 curve, tile_k(keys), tile_k(sgn), q5, int(B),
-                interpret=backend.interpret())
+                interpret=(mode == "interpret"))
         # Interior pick straight off the kernel's native emission tiles.
         # Emissions are bit-packed (two limbs per u32; x|y|z blocks of Lp
         # rows) so the scattered pick reads HALF the planes.
@@ -422,7 +434,8 @@ def _window_group_size(n: int, W: int) -> int:
 
 
 def window_sums(curve: CurveSpec, px, py, digits, c: int,
-                lanes: int | None = None, signs=None) -> ProjPoint:
+                lanes: int | None = None, signs=None,
+                kernels: str | None = None) -> ProjPoint:
     """Per-window partial sums G_w.  digits: (W, N).  Returns (W, L) stacks.
 
     This is the unit that distributed MSM shards: each device computes
@@ -437,49 +450,55 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
     groups_num*msm_size index arena up front — unworkable at k >= 20 on a
     16 GB chip).
     """
+    from . import backend
     W, n = digits.shape
-    if n > _PHASE_A_BUDGET:
-        return _window_sums_chunked(curve, px, py, digits, c, lanes, signs)
-    wg = _window_group_size(n, W)
-    if wg >= W:
-        m = min(lanes or default_lanes(n, W), n)
-        pk = (_pack_words(curve, px, py) if _use_phase_a_kernel(W, m)
-              else None)
-        buckets = _bucket_tables(curve, px, py, digits, c, m, signs=signs,
-                                 pk=pk)
-        sums = red.weighted_window_sum(curve, buckets)        # (L, W)
-        return ProjPoint(*(jnp.transpose(a) for a in sums))   # (W, L)
+    mode = _mode(kernels)
+    # Pin the mode for the whole trace: nested gates (point kernels,
+    # weighted scan, digit recode) all see the same coherent choice.
+    with backend.forced(mode):
+        if n > _PHASE_A_BUDGET:
+            return _window_sums_chunked(curve, px, py, digits, c, lanes,
+                                        signs, kernels=mode)
+        wg = _window_group_size(n, W)
+        if wg >= W:
+            m = min(lanes or default_lanes(n, W), n)
+            pk = (_pack_words(curve, px, py)
+                  if _use_phase_a_kernel(W, m, mode) else None)
+            buckets = _bucket_tables(curve, px, py, digits, c, m,
+                                     signs=signs, pk=pk, kernels=mode)
+            sums = red.weighted_window_sum(curve, buckets)      # (L, W)
+            return ProjPoint(*(jnp.transpose(a) for a in sums))  # (W, L)
+        groups = -(-W // wg)
+        pad = groups * wg - W
+        if pad:
+            # Padded windows get digit 0 everywhere -> identity sums.
+            digits = jnp.pad(digits, ((0, pad), (0, 0)))
+            if signs is not None:
+                signs = jnp.pad(signs, ((0, pad), (0, 0)))
+        dg = digits.reshape(groups, wg, n)
+        sg = (signs.reshape(groups, wg, n) if signs is not None
+              else jnp.zeros((groups, wg, n), jnp.bool_))
+        m = min(lanes or default_lanes(n, wg), n)
+        # The packed gather table is digit-independent: build it ONCE
+        # outside the per-group scan body.
+        pk = (_pack_words(curve, px, py)
+              if _use_phase_a_kernel(wg, m, mode) else None)
 
-    groups = -(-W // wg)
-    pad = groups * wg - W
-    if pad:
-        # Padded windows get digit 0 everywhere -> identity sums.
-        digits = jnp.pad(digits, ((0, pad), (0, 0)))
-        if signs is not None:
-            signs = jnp.pad(signs, ((0, pad), (0, 0)))
-    dg = digits.reshape(groups, wg, n)
-    sg = (signs.reshape(groups, wg, n) if signs is not None
-          else jnp.zeros((groups, wg, n), jnp.bool_))
-    m = min(lanes or default_lanes(n, wg), n)
-    # The packed gather table is digit-independent: build it ONCE outside
-    # the per-group scan body.
-    pk = _pack_words(curve, px, py) if _use_phase_a_kernel(wg, m) else None
+        def body(_, inp):
+            d, s = inp
+            buckets = _bucket_tables(curve, px, py, d, c, m,
+                                     signs=s if signs is not None else None,
+                                     pk=pk, kernels=mode)
+            return None, tuple(red.weighted_window_sum(curve, buckets))
 
-    def body(_, inp):
-        d, s = inp
-        buckets = _bucket_tables(curve, px, py, d, c, m,
-                                 signs=s if signs is not None else None,
-                                 pk=pk)
-        return None, tuple(red.weighted_window_sum(curve, buckets))
-
-    _, out = jax.lax.scan(body, None, (dg, sg))               # (G, L, wg) x3
-    return ProjPoint(*(
-        jnp.moveaxis(a, 0, 1).reshape(a.shape[1], groups * wg)
-        .transpose()[:W] for a in out))                       # (W, L)
+        _, out = jax.lax.scan(body, None, (dg, sg))           # (G, L, wg) x3
+        return ProjPoint(*(
+            jnp.moveaxis(a, 0, 1).reshape(a.shape[1], groups * wg)
+            .transpose()[:W] for a in out))                   # (W, L)
 
 
 def _window_sums_chunked(curve: CurveSpec, px, py, digits, c: int,
-                         lanes, signs) -> ProjPoint:
+                         lanes, signs, kernels: str | None = None) -> ProjPoint:
     """Point-chunked window sums for n beyond the phase-A staging budget.
 
     Splits the points into ``_PHASE_A_BUDGET``-sized chunks, runs the full
@@ -511,7 +530,8 @@ def _window_sums_chunked(curve: CurveSpec, px, py, digits, c: int,
     def body(acc, inp):
         pxc, pyc, dc, sc = inp
         part = window_sums(curve, pxc, pyc, dc, c, lanes=lanes,
-                           signs=sc if signs is not None else None)
+                           signs=sc if signs is not None else None,
+                           kernels=kernels)
         # window_sums returns (W, L) stacks; point ops are limb-leading.
         part = ProjPoint(*(jnp.transpose(a) for a in part))   # (L, W)
         return cp.add(curve, acc, part), None
@@ -522,24 +542,27 @@ def _window_sums_chunked(curve: CurveSpec, px, py, digits, c: int,
 
 
 def signed_digit_arrays(fr: FieldSpec, scalars, c: int,
-                        scalars_in_mont: bool = True):
+                        scalars_in_mont: bool = True,
+                        kernels: str | None = None):
     """(mags, negs) signed-digit recode of scalars, fused on TPU.
 
     One Pallas kernel covers from-Montgomery conversion + canonicalization
     + the W-window recode (ops/digits_pallas.py); the jnp path is the
     bit-identical fallback."""
     n = scalars.shape[-1]
-    if n % 1024 == 0 and _pallas_ok():
-        from . import backend, digits_pallas
+    mode = _mode(kernels)
+    if n % 1024 == 0 and mode != "off":
+        from . import digits_pallas
         W = signed_window_count(fr.bits, c)
         return digits_pallas.signed_digits(fr, scalars, c, W,
                                            from_mont=scalars_in_mont,
-                                           interpret=backend.interpret())
+                                           interpret=(mode == "interpret"))
     s_std = mont.from_mont(fr, scalars) if scalars_in_mont else scalars
     return extract_signed_digits(fr, s_std, c)
 
 
-def window_sums_fn(curve: CurveSpec, c: int, scalars_in_mont: bool = True):
+def window_sums_fn(curve: CurveSpec, c: int, scalars_in_mont: bool = True,
+                   kernels: str | None = None):
     """(px, py, scalars) -> window-sum arrays (W, L) x3 — the device part
     of the byte-API MSM (the Horner tail runs on host, as in the reference:
     ``msm_cuda.cuh:738-743`` copies the window sums to host and combines
@@ -547,8 +570,9 @@ def window_sums_fn(curve: CurveSpec, c: int, scalars_in_mont: bool = True):
 
     def fn(px, py, scalars):
         mags, negs = signed_digit_arrays(curve.fr, scalars, c,
-                                         scalars_in_mont)
-        return tuple(window_sums(curve, px, py, mags, c, signs=negs))
+                                         scalars_in_mont, kernels=kernels)
+        return tuple(window_sums(curve, px, py, mags, c, signs=negs,
+                                 kernels=kernels))
 
     return fn
 
@@ -602,7 +626,8 @@ def horner(curve: CurveSpec, sums: ProjPoint, c: int) -> ProjPoint:
 
 
 def msm(curve: CurveSpec, px, py, scalars, c: int | None = None,
-        scalars_in_mont: bool = True, lanes: int | None = None) -> ProjPoint:
+        scalars_in_mont: bool = True, lanes: int | None = None,
+        kernels: str | None = None) -> ProjPoint:
     """Full MSM: returns a single homogeneous-projective point (Montgomery).
 
     px/py: uint32[L, N] Montgomery affine coordinates.
@@ -612,8 +637,10 @@ def msm(curve: CurveSpec, px, py, scalars, c: int | None = None,
     n = px.shape[-1]
     if c is None:
         c = window_bits(max(n - 1, 1).bit_length())
-    mags, negs = signed_digit_arrays(curve.fr, scalars, c, scalars_in_mont)
-    sums = window_sums(curve, px, py, mags, c, lanes, signs=negs)
+    mags, negs = signed_digit_arrays(curve.fr, scalars, c, scalars_in_mont,
+                                     kernels=kernels)
+    sums = window_sums(curve, px, py, mags, c, lanes, signs=negs,
+                       kernels=kernels)
     return horner(curve, sums, c)
 
 

@@ -217,13 +217,14 @@ def run_ntt(spec: FieldSpec, x: jnp.ndarray, tables: NttTables,
     (ops/ntt_mxu.py); PANDA_NTT_IMPL selects pallas (fused VPU kernels,
     ops/ntt_pallas.py) or jnp (stagewise) explicitly.  All paths
     canonicalize — bit-identical output."""
-    from .msm import _pallas_ok
+    from . import backend
     impl = _ntt_impl()
     big = tables.log_n >= _FUSED_MIN_LOG_N and tables.omega
     if tables.omega and (impl == "mxu"
-                         or (impl == "auto" and big and _pallas_ok())):
+                         or (impl == "auto" and big
+                             and backend.kernels_enabled())):
         return _mxu_jitted(spec, tables.log_n, inverse, tables.omega)(x)
-    if impl == "pallas" and big and _pallas_ok():
+    if impl == "pallas" and big and backend.kernels_enabled():
         return _fused_jitted(spec, tables.log_n, inverse, tables.omega)(x)
     fn = ntt_jitted(spec, tables.log_n, inverse)
     return fn(x, tables.bitrev,

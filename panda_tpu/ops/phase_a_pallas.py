@@ -18,14 +18,18 @@ gathered stream.  Downstream consumers read the emission stream with
 tile-indexed gathers (see ``msm._bucket_tables``); nothing ever transposes
 an (S, T, L, 8, 128) array.
 
-The coordinate stream is gathered as (n, W32) u64 ROWS (x and y packed to
-full 32-bit words, ``pack_coords_words``): XLA's TPU gather cost is per
-INDEX, nearly independent of row bytes up to ~64 B, and u64 rows run
-~1.5x faster than the equivalent u32-plane gather (measured on v5e:
+The coordinate stream is gathered as (n, 2*W32) u32 ROWS (x and y packed
+to full 32-bit words, ``pack_coords_words``): XLA's TPU gather cost is
+per INDEX, nearly independent of row bytes up to ~64 B, so single-row
+gathers beat the W32-gather u32-plane form ~1.5x (measured on v5e:
 109 ms vs 166-175 ms for W*n = 2^24 indices; see tools/profile_gather*).
-The lo/hi split + transpose back to limb-major tiles fuses into the
-gather for free.  The kernel unpacks 32-bit words -> 15-bit limbs at
-load (~4 vector ops per limb, noise next to the madd).
+Row dtype is uint32 on purpose: an earlier u64-row variant of this pack
+silently truncated to uint32 under JAX's default ``jax_enable_x64=False``
+(``astype(jnp.uint64)`` is a no-op warn-and-truncate there), zeroing
+every odd 32-bit word of every coordinate — u32 rows carry the same
+bytes per row with no dtype hazard.  The transpose back to word-major
+tiles fuses into the gather; the kernel unpacks 32-bit words -> 15-bit
+limbs at load (~4 vector ops per limb, noise next to the madd).
 
 Field/point math inside the kernel is a dedicated limb-list
 implementation (each limb one (8, 128) uint32 tile): Mosaic compiles
@@ -134,7 +138,7 @@ def _kernel(curve: CurveSpec, dead: int, SB: int, U: int,
         k = keys_ref[u, 0]
         sgn = sgn_ref[u, 0] != 0
         # The coordinate stream arrives as full 32-bit words (x words then
-        # y words — the u64 row gather's lo/hi split): minimum per-index
+        # y words — the u32 row gather's planes): minimum per-index
         # gather volume; unpacked to 15-bit limbs here.
         qp = [q_ref[i, u, 0] for i in range(2 * W32)]
         qx = _unpack_words(f, qp[:W32])
@@ -220,28 +224,26 @@ def _limbs_to_words(spec: FieldSpec, a: jnp.ndarray) -> list:
 
 def pack_coords_words(spec: FieldSpec, px: jnp.ndarray,
                       py: jnp.ndarray) -> jnp.ndarray:
-    """Pack affine coordinates into (n, W32) u64 gather ROWS.
+    """Pack affine coordinates into (n, 2*W32) uint32 gather ROWS.
 
-    Row layout: u64 word k = u32 word 2k | (u32 word 2k+1) << 32, over the
-    2*W32 u32 words [x_0..x_{W32-1}, y_0..y_{W32-1}] (full 32-bit packing
-    of each < 2p coordinate).  The row gather + lo/hi split is the fastest
-    per-point fetch XLA offers on TPU (see module docstring)."""
+    Row layout: the 2*W32 little-endian u32 words
+    [x_0..x_{W32-1}, y_0..y_{W32-1}] (full 32-bit packing of each < 2p
+    coordinate).  One row gather is the fastest per-point fetch XLA
+    offers on TPU (cost is per index, row bytes ~free to ~64 B — see
+    module docstring).  uint32 rows by design: u64 rows truncate
+    silently under default jax_enable_x64=False."""
     wx = _limbs_to_words(spec, px)
     wy = _limbs_to_words(spec, py)
-    w = wx + wy                                   # 2*W32 planes of (n,)
-    lo = jnp.stack(w[0::2], axis=-1).astype(jnp.uint64)
-    hi = jnp.stack(w[1::2], axis=-1).astype(jnp.uint64)
-    return lo | (hi << np.uint64(32))             # (n, W32)
+    out = jnp.stack(wx + wy, axis=-1)             # (n, 2*W32) uint32
+    assert out.dtype == jnp.uint32, out.dtype
+    return out
 
 
 def split_words(q: jnp.ndarray) -> jnp.ndarray:
-    """Gathered (S, T, 8, 128, W32) u64 rows -> (2*W32, S, T, 8, 128) u32
-    word planes (fuses into the gather — measured free on v5e)."""
-    S, T, sb, ln, Wu = q.shape
-    lo = (q & np.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    hi = (q >> np.uint64(32)).astype(jnp.uint32)
-    qq = jnp.stack([lo, hi], axis=-1).reshape(S, T, sb, ln, 2 * Wu)
-    return jnp.transpose(qq, (4, 0, 1, 2, 3))
+    """Gathered (S, T, 8, 128, 2*W32) u32 rows -> (2*W32, S, T, 8, 128)
+    u32 word planes (fuses into the gather — measured free on v5e)."""
+    assert q.dtype == jnp.uint32, q.dtype
+    return jnp.transpose(q, (4, 0, 1, 2, 3))
 
 
 def phase_a_scan_tiles(curve: CurveSpec, keys5, sgn5, q5, dead: int,

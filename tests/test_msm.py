@@ -58,6 +58,36 @@ def test_msm_bn254_k10(rng):
     _run_case(BN254, rng, 1 << 10)
 
 
+def _production_width_case(rng, c, n=256):
+    """Full-range scalars at a production window width: exercises the
+    signed top-window carry (extract_signed_digits' headroom window), the
+    matmul histogram run locator (D >= _HIST_MIN_D), and the weighted
+    reduction at real bucket counts — a combination no small-c test
+    reaches (round-2 verdict gap).  Uses window_sums + host_horner (the
+    bench/API split, ``msm_cuda.cuh:738-743``) so the device Horner tail
+    (width-independent) isn't recompiled per width."""
+    curve = BN254
+    pts = [oracle.random_point(curve, rng) for _ in range(n)]
+    scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
+    exp = oracle.msm_oracle(curve, pts, scalars)
+    px, py = points_to_device(curve, pts)
+    s = to_mont_limbs(curve.fr, scalars)
+    ws = msm_ops.window_sums_fn(curve, c)
+    sums = jax.jit(lambda a, b, d: jnp.stack(ws(a, b, d)))(px, py, s)
+    got = msm_ops.host_horner(curve, list(np.asarray(sums)), c)
+    assert got == exp
+
+
+def test_msm_bn254_production_width_c13(rng):
+    _production_width_case(rng, 13)             # D = 4096 buckets/window
+
+
+@pytest.mark.slow
+def test_msm_bn254_production_width_c16(rng):
+    """Widest window the pipeline supports (D = 32768 buckets/window)."""
+    _production_width_case(rng, 16)
+
+
 def test_window_bits_policy():
     """Cost-model window policy: in-range, monotone in problem size."""
     widths = [msm_ops.window_bits(k) for k in range(2, 25)]

@@ -1,10 +1,17 @@
 """Kernel/fallback equivalence of the fused MSM pipeline on CPU.
 
-PANDA_PALLAS=interpret runs the real Pallas kernels (phase-A scan, digit
+``kernels="interpret"`` runs the real Pallas kernels (phase-A scan, digit
 recode, weighted scan, point kernels) under the Pallas interpreter, so
 the TPU code path is exercised by the CPU suite — the analog of the
 reference validating its device pipeline against the host path
 (``/root/reference/tests/test.rs:115``).
+
+The mode is passed as an EXPLICIT pipeline argument (not env-at-trace
+time): the round-2 version of this test flipped PANDA_PALLAS between two
+jits of the same function and jax's trace cache silently returned the
+first executable, comparing the fallback with itself.  Each A/B test now
+also asserts the traced jaxpr structurally contains / lacks pallas_call,
+so a regression to a vacuous comparison fails loudly.
 """
 
 import numpy as np
@@ -18,22 +25,103 @@ from panda_tpu.reference import curve_ref
 from conftest import points_to_device, to_mont_limbs
 
 
-def _inputs(rng, n):
-    import jax.numpy as jnp
+def _inputs(rng, n, pool=32, full_range=True):
     curve = BN254
     g = (curve.gen_x, curve.gen_y)
     acc, table = None, []
-    for _ in range(32):
+    for _ in range(pool):
         acc = curve_ref.ec_add(curve, acc, g)
         table.append(acc)
-    pts = [table[rng.randrange(32)] for _ in range(n)]
+    pts = [table[rng.randrange(pool)] for _ in range(n)]
     px, py = points_to_device(curve, pts)
-    scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
+    top = curve.fr.modulus if full_range else 1 << 62
+    scalars = [rng.randrange(top) for _ in range(n)]
     sc = to_mont_limbs(curve.fr, scalars)
     return pts, scalars, px, py, sc
 
 
-def test_window_sums_kernel_matches_fallback(rng, monkeypatch):
+def _has_pallas(jaxpr) -> bool:
+    return "pallas_call" in str(jaxpr)
+
+
+def test_pack_words_roundtrip(rng):
+    """pack_coords_words -> row gather -> split_words -> in-kernel word
+    unpack must reproduce the original limbs EXACTLY under the DEFAULT
+    jax config (x64 off).
+
+    Regression test for the round-2 corruption: the u64-row variant of
+    the pack truncated to uint32 under jax_enable_x64=False, zeroing
+    every odd 32-bit word of every coordinate.
+    """
+    import jax
+    import jax.numpy as jnp
+    from panda_tpu.ops import phase_a_pallas as pa
+
+    assert not jax.config.jax_enable_x64
+    fp = BN254.fp
+    n = 256
+    vals = [rng.randrange(2 * fp.modulus - 1) for _ in range(n)]
+    valsy = [rng.randrange(2 * fp.modulus - 1) for _ in range(n)]
+    px = jnp.asarray(codec.ints_to_limbs(fp, vals))
+    py = jnp.asarray(codec.ints_to_limbs(fp, valsy))
+
+    def roundtrip(px, py):
+        pk = pa.pack_coords_words(fp, px, py)
+        assert pk.dtype == jnp.uint32          # trace-time dtype guard
+        idx = jnp.arange(n, dtype=jnp.uint32)[::-1]
+        q = jnp.take(pk, idx.reshape(1, 1, 2, 128), axis=0)
+        q5 = pa.split_words(q)                 # (2*W32, 1, 1, 2, 128)
+        W32 = pa.n_words32(fp)
+        rows = [q5[i] for i in range(2 * W32)]
+        qx = pa._unpack_words(fp, rows[:W32])
+        qy = pa._unpack_words(fp, rows[W32:])
+        return jnp.stack(qx).reshape(fp.n_limbs, n), \
+            jnp.stack(qy).reshape(fp.n_limbs, n)
+
+    gx, gy = jax.jit(roundtrip)(px, py)
+    np.testing.assert_array_equal(np.asarray(gx), np.asarray(px)[:, ::-1])
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(py)[:, ::-1])
+    # Value-level check against the plain integers, independent of the
+    # limb codec: every word of every coordinate survives.
+    got = codec.limbs_to_ints(fp, np.asarray(gx))
+    assert got == vals[::-1]
+
+
+def test_phase_a_scan_tiles_direct(rng):
+    """The fused phase-A scan kernel (interpreted) against the lax.scan
+    fallback branch, on one tiny (S, T) tile problem — a direct unit test
+    of phase_a_scan_tiles I/O (emission slots, packed emissions, tails),
+    not routed through _bucket_tables."""
+    import jax
+    import jax.numpy as jnp
+    from panda_tpu.curves.point import ProjPoint
+    from panda_tpu.ops import phase_a_pallas as pa
+    from conftest import proj_to_oracle
+
+    curve = BN254
+    n, c, m = 64, 4, 16         # W=64 windows; 64*16 = 1024 — one tile
+    pts, scalars, px, py, sc = _inputs(rng, n, pool=8)
+    mags, negs = jax.jit(lambda s: msm_ops.signed_digit_arrays(
+        BN254.fr, s, c, kernels="off"))(sc)
+    W = mags.shape[0]
+    assert (W * m) % 1024 == 0
+
+    def tables(kmode):
+        return jax.jit(lambda a, b, d, s: tuple(msm_ops._bucket_tables(
+            curve, a, b, d, c, m, signs=s, kernels=kmode)))
+
+    jx_int = jax.make_jaxpr(tables("interpret"))(px, py, mags, negs)
+    jx_off = jax.make_jaxpr(tables("off"))(px, py, mags, negs)
+    assert _has_pallas(jx_int) and not _has_pallas(jx_off)
+
+    got = tables("interpret")(px, py, mags, negs)
+    ref = tables("off")(px, py, mags, negs)
+    ref_pts = proj_to_oracle(curve, ProjPoint(*ref))
+    got_pts = proj_to_oracle(curve, ProjPoint(*got))
+    assert got_pts == ref_pts
+
+
+def test_window_sums_kernel_matches_fallback(rng):
     """window_sums via interpreted Pallas kernels == jnp/lax fallback,
     and both match the big-int oracle."""
     n, c = 1024, 4                   # W * lanes = 64 * 256 — kernel-eligible
@@ -41,20 +129,23 @@ def test_window_sums_kernel_matches_fallback(rng, monkeypatch):
 
     import jax
 
-    # Eager dispatch is pathologically slow; jit both paths (the kernel
-    # gating reads the env at TRACE time, so set it before each trace).
-    def pipeline(px, py, sc):
-        mags, negs = msm_ops.signed_digit_arrays(BN254.fr, sc, c)
-        return (mags, negs) + tuple(msm_ops.window_sums(
-            BN254, px, py, mags, c, signs=negs))
+    def pipeline(kmode):
+        def fn(px, py, sc):
+            mags, negs = msm_ops.signed_digit_arrays(
+                BN254.fr, sc, c, kernels=kmode)
+            return (mags, negs) + tuple(msm_ops.window_sums(
+                BN254, px, py, mags, c, signs=negs, kernels=kmode))
+        return fn
 
-    monkeypatch.setenv("PANDA_PALLAS", "0")
+    # Structural gate check: the interpret trace must contain Pallas
+    # kernels; the fallback trace must not.
+    assert _has_pallas(jax.make_jaxpr(pipeline("interpret"))(px, py, sc))
+    assert not _has_pallas(jax.make_jaxpr(pipeline("off"))(px, py, sc))
+
     mags, negs, *ref = [np.asarray(a)
-                        for a in jax.jit(pipeline)(px, py, sc)]
-
-    monkeypatch.setenv("PANDA_PALLAS", "interpret")
+                        for a in jax.jit(pipeline("off"))(px, py, sc)]
     mags_k, negs_k, *got = [np.asarray(a)
-                            for a in jax.jit(pipeline)(px, py, sc)]
+                            for a in jax.jit(pipeline("interpret"))(px, py, sc)]
     np.testing.assert_array_equal(mags_k, mags)
     np.testing.assert_array_equal(negs_k, negs)
 
@@ -62,7 +153,6 @@ def test_window_sums_kernel_matches_fallback(rng, monkeypatch):
     # bit-identical to the XLA path, so compare as curve points.
     from panda_tpu.curves.point import ProjPoint
     from conftest import proj_to_oracle
-    monkeypatch.setenv("PANDA_PALLAS", "0")
     ref_pts = proj_to_oracle(
         BN254, ProjPoint(*(np.transpose(a) for a in ref)))
     got_pts = proj_to_oracle(
