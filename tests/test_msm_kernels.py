@@ -87,6 +87,33 @@ def test_pack_words_roundtrip(rng):
     assert got == vals[::-1]
 
 
+def test_kernel_gate_structure(rng):
+    """Cheap structural gate check in the default suite: tracing the
+    pipeline with kernels='interpret' yields pallas_call ops, 'off' does
+    not — guarantees the explicit mode argument really switches paths
+    (the regression class behind round 2's vacuous A/B)."""
+    import jax
+    n, c, lanes = 1024, 8, 32
+    _, _, px, py, sc = _inputs(rng, n, pool=4)
+
+    def pipeline(kmode):
+        def fn(px, py, sc):
+            mags, negs = msm_ops.signed_digit_arrays(
+                BN254.fr, sc, c, kernels=kmode)
+            return tuple(msm_ops.window_sums(
+                BN254, px, py, mags, c, signs=negs, lanes=lanes,
+                kernels=kmode))
+        return fn
+
+    assert _has_pallas(jax.make_jaxpr(pipeline("interpret"))(px, py, sc))
+    assert not _has_pallas(jax.make_jaxpr(pipeline("off"))(px, py, sc))
+
+
+@pytest.mark.slow   # Pallas interpret mode costs >10 min for even a
+                    # one-tile kernel on this 1-core host (measured); the
+                    # authoritative kernel-vs-fallback A/B runs compiled
+                    # on the TPU in tools/tpu_checks.py (recorded in
+                    # TPU_CHECKS_r03.json) and bench.py's oracle gates.
 def test_phase_a_scan_tiles_direct(rng):
     """The fused phase-A scan kernel (interpreted) against the lax.scan
     fallback branch, on one tiny (S, T) tile problem — a direct unit test
@@ -121,6 +148,7 @@ def test_phase_a_scan_tiles_direct(rng):
     assert got_pts == ref_pts
 
 
+@pytest.mark.slow   # see test_phase_a_scan_tiles_direct's marker note
 def test_window_sums_kernel_matches_fallback(rng):
     """window_sums via interpreted Pallas kernels == jnp/lax fallback,
     and both match the big-int oracle.  Sizes are the smallest that keep

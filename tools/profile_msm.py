@@ -148,9 +148,6 @@ def main():
     print(f"wsum     {t * 1e3:9.2f} ms")
 
     # --- end to end ------------------------------------------------------
-    ws = jax.jit(lambda a, b, s: tuple(
-        msm_ops.window_sums(curve, a, b, *jax.tree.leaves([]) if False else (None,), c)
-    )) if False else None
     full = jax.jit(lambda a, b, d, s: tuple(
         msm_ops.window_sums(curve, a, b, d, c, signs=s)))
     t, _ = timed(full, px, py, mags, negs)

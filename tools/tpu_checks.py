@@ -167,6 +167,32 @@ def check_ntt_sizes():
            "mxu == jnp")
 
 
+def check_kernel_ab():
+    """Fused Pallas kernels vs the jnp/lax fallback ON THE CHIP — the
+    authoritative kernel A/B (the CPU suite's interpret-mode variant costs
+    ~10 min/tile on the 1-core host and exercises the Pallas interpreter,
+    not Mosaic; here both paths run compiled on real hardware)."""
+    import jax.numpy as jnp
+    t0 = time.time()
+    n, c = 1 << 14, 12
+    px, py, scalars, pts, sv = pool_inputs(BN254, n, seed=77)
+
+    def run(kmode):
+        fn = jax.jit(lambda a, b, s: jnp.stack(
+            msm_ops.window_sums_fn(BN254, c, kernels=kmode)(a, b, s)))
+        sums = np.asarray(fn(px, py, scalars))
+        return msm_ops.host_horner(BN254, list(sums), c)
+
+    r_on = run("on")
+    r_off = run("off")
+    agg = {}
+    for p, s in zip(pts, sv):
+        agg[p] = (agg.get(p, 0) + s) % BN254.fr.modulus
+    want = curve_ref.msm_oracle(BN254, list(agg), list(agg.values()))
+    record("bn254_msm_2^14_kernel_ab", r_on == r_off == want,
+           time.time() - t0, f"kernels on == off == oracle, c={c}")
+
+
 def check_bls12_377():
     t0 = time.time()
     # Small full-oracle slice.
@@ -200,6 +226,7 @@ def main():
     RESULTS["backend"] = jax.default_backend()
     print("backend:", RESULTS["backend"], flush=True)
     check_golden_k13()
+    check_kernel_ab()
     check_ntt_sizes()
     check_msm_sweep()
     check_bls12_377()
