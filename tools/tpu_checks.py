@@ -44,6 +44,7 @@ from panda_tpu.ops import ntt as ntt_ops
 from panda_tpu.reference import curve_ref
 
 RESULTS = {"backend": None, "checks": []}
+_OUT_PATH = None
 
 
 def record(name, ok, secs, detail=""):
@@ -52,6 +53,9 @@ def record(name, ok, secs, detail=""):
          "detail": detail})
     print(f"{'OK ' if ok else 'FAIL'} {name} ({secs:.1f}s) {detail}",
           flush=True)
+    if _OUT_PATH is not None:       # incremental: a killed run keeps data
+        RESULTS["all_ok"] = all(c["ok"] for c in RESULTS["checks"])
+        _OUT_PATH.write_text(json.dumps(RESULTS, indent=1))
 
 
 def pool_inputs(curve, n, seed, pool=1024, spool=1 << 14):
@@ -112,7 +116,11 @@ def check_golden_k13():
 
 
 def check_msm_sweep():
-    for k in range(10, 17):
+    # The full-oracle device envelope (tests/test.rs:51-56 is k=10..20;
+    # full oracle affordable to k=16).  Three spanning sizes: each k is a
+    # distinct compiled shape costing minutes of (remote) XLA compile on
+    # a cold cache, and intermediate k's exercise no new code path.
+    for k in (10, 13, 16):
         t0 = time.time()
         n = 1 << k
         px, py, scalars, pts, sv = pool_inputs(BN254, n, seed=k)
@@ -153,7 +161,7 @@ def ntt_roundtrip(curve, log_n, impl=None):
 
 
 def check_ntt_sizes():
-    for log_n in (12, 14, 16, 18):
+    for log_n in (12, 16, 18):
         t0 = time.time()
         ok, y_def = ntt_roundtrip(BN254, log_n)
         record(f"bn254_ntt_2^{log_n}_roundtrip", ok, time.time() - t0,
@@ -223,6 +231,9 @@ def check_bls12_377():
 
 
 def main():
+    global _OUT_PATH
+    _OUT_PATH = pathlib.Path(sys.argv[sys.argv.index("--out") + 1]
+                             if "--out" in sys.argv else "TPU_CHECKS.json")
     RESULTS["backend"] = jax.default_backend()
     print("backend:", RESULTS["backend"], flush=True)
     check_golden_k13()
@@ -230,10 +241,8 @@ def main():
     check_ntt_sizes()
     check_msm_sweep()
     check_bls12_377()
-    out = pathlib.Path(sys.argv[sys.argv.index("--out") + 1]
-                       if "--out" in sys.argv else "TPU_CHECKS.json")
     RESULTS["all_ok"] = all(c["ok"] for c in RESULTS["checks"])
-    out.write_text(json.dumps(RESULTS, indent=1))
+    _OUT_PATH.write_text(json.dumps(RESULTS, indent=1))
     print(json.dumps({"all_ok": RESULTS["all_ok"],
                       "n_checks": len(RESULTS["checks"])}))
     return 0 if RESULTS["all_ok"] else 1
