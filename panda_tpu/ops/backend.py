@@ -16,6 +16,7 @@ Three modes, selected by the PANDA_PALLAS environment variable:
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import os
 
 # Trace-time override (see ``forced``).  The env gate is read when a
@@ -24,29 +25,34 @@ import os
 # the same callable silently reuses the first executable.  Pipeline entry
 # points therefore thread an explicit ``kernels`` argument and pin it
 # here for the duration of their trace, so every nested gate (point
-# kernels, reductions, digit recode) sees ONE coherent mode.
-_FORCED: str | None = None
+# kernels, reductions, digit recode) sees ONE coherent mode.  A
+# ContextVar (not a module global) so concurrent traces in different
+# threads cannot cross-contaminate each other's mode resolution.
+_FORCED: contextvars.ContextVar[str | None] = \
+    contextvars.ContextVar("panda_kernels_forced", default=None)
+
+_MODES = ("on", "off", "interpret")
 
 
 @contextlib.contextmanager
 def forced(m: str | None):
     """Pin the kernel mode for the enclosed trace; None is a no-op."""
-    global _FORCED
     if m is None:
         yield
         return
-    assert m in ("on", "off", "interpret"), m
-    prev = _FORCED
-    _FORCED = m
+    if m not in _MODES:
+        raise ValueError(f"kernel mode must be one of {_MODES}, got {m!r}")
+    token = _FORCED.set(m)
     try:
         yield
     finally:
-        _FORCED = prev
+        _FORCED.reset(token)
 
 
 def mode() -> str:
-    if _FORCED is not None:
-        return _FORCED
+    f = _FORCED.get()
+    if f is not None:
+        return f
     v = os.environ.get("PANDA_PALLAS", "1")
     if v == "interpret":
         return "interpret"

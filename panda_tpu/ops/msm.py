@@ -63,10 +63,12 @@ def _mode(kernels: str | None) -> str:
     executable — which made env-based kernel-vs-fallback A/B tests
     compare a path with itself (round-2 verdict, tests/test_msm_kernels).
     """
-    if kernels is not None:
-        assert kernels in ("on", "off", "interpret"), kernels
-        return kernels
     from . import backend
+    if kernels is not None:
+        if kernels not in backend._MODES:
+            raise ValueError(f"kernel mode must be one of {backend._MODES},"
+                             f" got {kernels!r}")
+        return kernels
     return backend.mode()
 
 

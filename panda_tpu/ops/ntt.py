@@ -172,16 +172,21 @@ def intt(spec: FieldSpec, x: jnp.ndarray, tables: NttTables) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def ntt_jitted(spec: FieldSpec, log_n: int, inverse: bool = False):
+def ntt_jitted(spec: FieldSpec, log_n: int, inverse: bool = False,
+               mode: str | None = None):
     """Jitted transform taking table arrays as runtime arguments.
 
-    (log_n drives Python-level loop structure so it must be static.)
+    (log_n drives Python-level loop structure so it must be static; the
+    resolved kernel ``mode`` keys the cache because the stage bodies read
+    the backend gate at trace time.)
     """
+    from . import backend
 
     def run(x, bitrev, w_pows, n_inv_limbs):
-        x = jnp.take(x, bitrev, axis=-1)
-        y, vb = _butterfly_stages(spec, x, w_pows, log_n)
-        return _finish(spec, y, vb, inverse, n_inv_limbs)
+        with backend.forced(mode):
+            x = jnp.take(x, bitrev, axis=-1)
+            y, vb = _butterfly_stages(spec, x, w_pows, log_n)
+            return _finish(spec, y, vb, inverse, n_inv_limbs)
 
     return jax.jit(run)
 
@@ -190,17 +195,34 @@ _FUSED_MIN_LOG_N = 10
 
 
 @functools.lru_cache(maxsize=32)
-def _fused_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int):
-    from . import ntt_pallas
-    return jax.jit(functools.partial(
-        ntt_pallas.fused_ntt, spec, log_n=log_n, inverse=inverse,
-        omega=omega))
+def _fused_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int,
+                  mode: str):
+    """Keyed on the resolved kernel mode: the engine bodies read the
+    backend gate at TRACE time, so distinct modes must map to distinct
+    jitted callables (same stale-trace-cache hazard fixed for MSM)."""
+    from . import backend, ntt_pallas
+
+    def run(x):
+        with backend.forced(mode):
+            return ntt_pallas.fused_ntt(spec, x, log_n=log_n,
+                                        inverse=inverse, omega=omega)
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=32)
-def _mxu_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int):
-    from . import ntt_mxu
-    return ntt_mxu.mxu_ntt_jitted(spec, log_n, inverse, omega=omega)
+def _mxu_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int,
+                mode: str):
+    from . import backend, ntt_mxu
+    plan = ntt_mxu.mxu_plan(spec, log_n, inverse, omega=omega)
+    tables = ntt_mxu.plan_tables(plan)
+
+    def run(x, tabs):
+        with backend.forced(mode):
+            return ntt_mxu.apply_ntt(plan, x, tabs)
+
+    jfn = jax.jit(run)
+    return lambda x: jfn(x, tables)
 
 
 def _ntt_impl() -> str:
@@ -210,23 +232,29 @@ def _ntt_impl() -> str:
 
 
 def run_ntt(spec: FieldSpec, x: jnp.ndarray, tables: NttTables,
-            inverse: bool = False) -> jnp.ndarray:
+            inverse: bool = False, kernels: str | None = None) -> jnp.ndarray:
     """Convenience wrapper dispatching to the jitted kernel.
 
     On TPU, large transforms route through the MXU matmul engine
     (ops/ntt_mxu.py); PANDA_NTT_IMPL selects pallas (fused VPU kernels,
     ops/ntt_pallas.py) or jnp (stagewise) explicitly.  All paths
-    canonicalize — bit-identical output."""
+    canonicalize — bit-identical output.  ``kernels`` pins the fused-kernel
+    mode explicitly (on/off/interpret); None reads the PANDA_PALLAS gate.
+    """
     from . import backend
+    mode = kernels if kernels is not None else backend.mode()
+    if mode not in backend._MODES:
+        raise ValueError(f"kernel mode must be one of {backend._MODES},"
+                         f" got {mode!r}")
     impl = _ntt_impl()
     big = tables.log_n >= _FUSED_MIN_LOG_N and tables.omega
     if tables.omega and (impl == "mxu"
-                         or (impl == "auto" and big
-                             and backend.kernels_enabled())):
-        return _mxu_jitted(spec, tables.log_n, inverse, tables.omega)(x)
-    if impl == "pallas" and big and backend.kernels_enabled():
-        return _fused_jitted(spec, tables.log_n, inverse, tables.omega)(x)
-    fn = ntt_jitted(spec, tables.log_n, inverse)
+                         or (impl == "auto" and big and mode != "off")):
+        return _mxu_jitted(spec, tables.log_n, inverse, tables.omega, mode)(x)
+    if impl == "pallas" and big and mode != "off":
+        return _fused_jitted(spec, tables.log_n, inverse, tables.omega,
+                             mode)(x)
+    fn = ntt_jitted(spec, tables.log_n, inverse, mode)
     return fn(x, tables.bitrev,
               tables.w_inv_pows if inverse else tables.w_pows,
               jnp.asarray(tables.n_inv))

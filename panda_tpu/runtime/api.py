@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves import point as cp
-from ..curves.config import BLS12_377, BN254
+from ..curves.config import BLS12_377, BLS12_381, BN254
 from ..fields import codec, mont
 from ..ops import msm as msm_ops
 from ..ops import ntt as ntt_ops
@@ -50,6 +50,8 @@ def _msm_run(gm: PandaManager, scalars, bases_xy) -> bytes:
         sums = fn(jnp.asarray(px), jnp.asarray(py), jnp.asarray(scalars))
         gm.note_issued(*sums)                           # wrapper.rs:291 analog
         sums = [np.asarray(a) for a in sums]            # d2h: W tiny points
+        gm.note_issued()       # d2h completed the work: nothing in flight,
+        #                        don't pin the device outputs in HBM
     with trace.timer("msm: horner (host)"):
         acc = msm_ops.host_horner(curve, sums, c)
     return gm.format_affine_result(acc)
@@ -159,7 +161,10 @@ def _ntt_run(gm: PandaManager, data: bytes, log_n: int,
         gm.note_issued(y)                               # wrapper.rs:291 analog
         y.block_until_ready()
     with trace.timer("ntt: d2h result"):
-        return codec.limbs_to_bytes(fr, np.asarray(mont.to_wire(fr, y, mult=2)))
+        out = codec.limbs_to_bytes(fr, np.asarray(mont.to_wire(fr, y, mult=2)))
+        gm.note_issued()       # result copied to host: release the device
+        #                        buffer instead of pinning ~n*L*4 B in HBM
+        return out
 
 
 def ntt(gm: PandaManager, data: bytes, log_n: int) -> bytes:
@@ -220,3 +225,9 @@ def msm_bls12_377(gm, scalars, bases):
 
 def ntt_bls12_377(gm, data, log_n):
     _curve_guard(gm, BLS12_377); return ntt(gm, data, log_n)
+
+def msm_bls12_381(gm, scalars, bases):
+    _curve_guard(gm, BLS12_381); return msm(gm, scalars, bases)
+
+def ntt_bls12_381(gm, data, log_n):
+    _curve_guard(gm, BLS12_381); return ntt(gm, data, log_n)

@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..curves import point as cp
 from ..curves.config import CURVES, BN254, CurveSpec
 from ..fields import codec, mont
 from ..ops import ntt as ntt_ops
@@ -194,7 +193,18 @@ class PandaManager:
 
     # -- config ------------------------------------------------------------
     def set_config(self, coordinate_type: ResultCoordinateType) -> None:
-        """``set_config`` (``wrapper.rs:212-214``)."""
+        """``set_config`` (``wrapper.rs:212-214``).
+
+        On the device path the knob is observationally inert BY
+        CONSTRUCTION: results are emitted affine-normalized (z = 1,
+        ``format_affine_result``), where the Jacobian encoding and the
+        reference's Jacobian->projective conversion ``(X*Z, Y, Z^3)``
+        (``projective.cuh:66-77``) produce identical bytes.  Any class
+        representative is a valid result under the reference's contract
+        (``tests/test.rs:87-108`` normalizes before comparing).  The
+        native CPU path (``interop/native.py``) does receive and honor
+        the knob, matching ``msm_host.cuh``'s behavior.
+        """
         self.result_coordinate_type = ResultCoordinateType(coordinate_type)
 
     # -- lifecycle tail ----------------------------------------------------
@@ -227,8 +237,10 @@ class PandaManager:
     def format_affine_result(self, pt) -> bytes:
         """Serialize a host-side affine int point ((x, y) or None) to the
         reference's 3-field LE blob (wire-domain Montgomery).  With z = 1
-        the Jacobian and Projective encodings coincide; the identity
-        serializes as (0, 1, 0) in both."""
+        the Jacobian and Projective encodings coincide (see
+        ``set_config``); the identity serializes as (0, 1, 0) in both.
+        This is the ONLY device-path result serializer — the device
+        pipeline always affine-normalizes in the host Horner tail."""
         f = self.curve.fp
         if pt is None:
             x, y, z = 0, 1, 0
@@ -238,18 +250,3 @@ class PandaManager:
         for v in (x, y, z):
             blob += f.to_wire_int(v).to_bytes(f.n_bytes, "little")
         return blob
-
-    def format_result(self, pt: cp.ProjPoint) -> bytes:
-        """Project a homogeneous result to the configured output coordinates
-        and serialize to the reference's 3x field-element LE blob
-        (wire-domain Montgomery, canonical)."""
-        f = self.curve.fp
-        if self.result_coordinate_type == ResultCoordinateType.JACOBIAN:
-            x, y, z = cp.to_jacobian(self.curve, pt)
-        else:
-            # Homogeneous (X:Y:Z) is itself a valid projective representative
-            # of the class produced by the reference's Jacobian->projective
-            # conversion (projective.cuh:66-77); see curves/point.py.
-            x, y, z = pt
-        to_np = lambda a: np.asarray(mont.to_wire(f, a))
-        return codec.point3_limbs_to_bytes(f, to_np(x), to_np(y), to_np(z))

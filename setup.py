@@ -13,6 +13,7 @@ import subprocess
 
 from setuptools import setup
 from setuptools.command.build_py import build_py
+from setuptools.dist import Distribution
 
 
 class BuildWithNative(build_py):
@@ -25,4 +26,14 @@ class BuildWithNative(build_py):
         super().run()
 
 
-setup(cmdclass={"build_py": BuildWithNative})
+class BinaryDistribution(Distribution):
+    """The wheel ships a compiled libpanda_host.so via package-data but has
+    no ext_modules, so setuptools would tag it py3-none-any — and a wheel
+    built here would silently carry a wrong .so to another platform.
+    Forcing has_ext_modules gives the wheel a platform tag."""
+
+    def has_ext_modules(self):
+        return True
+
+
+setup(cmdclass={"build_py": BuildWithNative}, distclass=BinaryDistribution)
