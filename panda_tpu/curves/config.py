@@ -19,8 +19,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..fields.config import (BLS12_377_FP, BLS12_377_FR, BN254_FP, BN254_FR,
-                             FieldSpec)
+from ..fields.config import (BLS12_377_FP, BLS12_377_FR, BLS12_381_FP,
+                             BLS12_381_FR, BN254_FP, BN254_FR, FieldSpec)
 
 
 @dataclass(frozen=True)
@@ -64,4 +64,15 @@ BLS12_377 = CurveSpec(
     gen_y=0x01914A69C5102EFF1F674F5D30AFEEC4BD7FB348CA3E52D96D182AD44FB82305C2FE3D3634A9591AFD82DE55559C8EA6,
 )
 
-CURVES = {"bn254": BN254, "bls12_377": BLS12_377}
+BLS12_381 = CurveSpec(
+    name="bls12_381",
+    fp=BLS12_381_FP,
+    fr=BLS12_381_FR,
+    b=4,                      # y^2 = x^3 + 4; enum parity with the
+    #                           reference's CURVE_TYPE (curve.cuh:8-12),
+    #                           which carries BLS12_381 but wires no params
+    gen_x=0x17F1D3A73197D7942695638C4FA9AC0FC3688C4F9774B905A14E3A3F171BAC586C55E83FF97A1AEFFB3AF00ADB22C6BB,
+    gen_y=0x08B3F481E3AAA0F1A09E30ED741D8AE4FCF5E095D5D00AF600DB18CB2C04B3EDD03CC744A2888AE40CAA232946C5E7E1,
+)
+
+CURVES = {"bn254": BN254, "bls12_377": BLS12_377, "bls12_381": BLS12_381}

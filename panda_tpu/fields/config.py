@@ -241,4 +241,17 @@ BLS12_377_FR = FieldSpec(
     two_adicity=47,
 )
 
-ALL_FIELDS = (BN254_FP, BN254_FR, BLS12_377_FP, BLS12_377_FR)
+BLS12_381_FP = FieldSpec(
+    name="bls12_381_fp",
+    modulus=0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB,
+)
+
+BLS12_381_FR = FieldSpec(
+    name="bls12_381_fr",
+    modulus=0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001,
+    generator=7,
+    two_adicity=32,
+)
+
+ALL_FIELDS = (BN254_FP, BN254_FR, BLS12_377_FP, BLS12_377_FR,
+              BLS12_381_FP, BLS12_381_FR)

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from panda_tpu.curves import point as cp
-from panda_tpu.curves.config import BLS12_377, BN254
+from panda_tpu.curves.config import BLS12_377, BLS12_381, BN254
 from panda_tpu.fields import codec, mont
 from panda_tpu.ops import msm as msm_ops
 from panda_tpu.reference import curve_ref as oracle
@@ -47,6 +47,13 @@ def test_msm_bn254_nonpow2_and_lanes(rng):
 
 def test_msm_bls12_377(rng):
     _run_case(BLS12_377, rng, 32, c=5)
+
+
+def test_msm_bls12_381(rng):
+    # Enum-surface parity: the reference carries the BLS12_381 enum value
+    # (curve.cuh:8-12) and arkworks dep but wires no parameters; panda_tpu
+    # wires the full registry (fields/config.py, curves/config.py).
+    _run_case(BLS12_381, rng, 32, c=5)
 
 
 def test_msm_single_point(rng):

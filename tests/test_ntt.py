@@ -11,12 +11,28 @@ import numpy as np
 import pytest
 
 from panda_tpu.fields import codec, mont
-from panda_tpu.fields.config import BLS12_377_FR, BN254_FR
+from panda_tpu.fields.config import BLS12_377_FR, BLS12_381_FR, BN254_FR
 from panda_tpu.ops import ntt as ntt_ops
 from panda_tpu.reference import ntt_ref
 from tests.conftest import from_mont_limbs, to_mont_limbs
 
 FIELDS = [BN254_FR, BLS12_377_FR]
+
+
+def test_ntt_bls12_381_oracle_and_roundtrip(rng):
+    """Single compact BLS12-381 gate (kept out of the FIELDS matrix: one
+    compile, not six, on this 1-core host)."""
+    spec, log_n = BLS12_381_FR, 4
+    n = 1 << log_n
+    vals = [rng.randrange(spec.modulus) for _ in range(n)]
+    exp = ntt_ref.ntt_oracle(spec, vals, spec.root_of_unity(log_n))
+    tables = ntt_ops.make_tables(spec, log_n)
+    x = to_mont_limbs(spec, vals)
+    y = ntt_ops.run_ntt(spec, x, tables)
+    assert from_mont_limbs(spec, y) == exp
+    back = from_mont_limbs(spec, ntt_ops.run_ntt(spec, jnp.asarray(y), tables,
+                                                 inverse=True))
+    assert back == vals
 
 
 @pytest.mark.parametrize("spec", FIELDS, ids=lambda s: s.name)
