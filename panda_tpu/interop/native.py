@@ -89,6 +89,11 @@ def _configure(lib):
     lib.panda_session_ntt.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_uint, ctypes.c_char_p, ctypes.c_int]
+    lib.panda_session_set_execution_target.restype = ctypes.c_int
+    lib.panda_session_set_execution_target.argtypes = [
+        ctypes.c_void_p, ctypes.c_int]
+    lib.panda_session_engine_warmup.restype = ctypes.c_int
+    lib.panda_session_engine_warmup.argtypes = [ctypes.c_void_p]
 
 
 def available() -> bool:
@@ -151,6 +156,20 @@ class NativeSession:
         rc = self._lib.panda_session_set_config(self._h, coord_type)
         if rc:
             raise RuntimeError(f"set_config failed: {rc}")
+
+    def set_execution_target(self, target: int) -> None:
+        """0 = in-process CPU host pipeline, 1 = the accelerated JAX
+        engine via the worker subprocess (results byte-identical to
+        ``runtime.api.msm``/``ntt``)."""
+        rc = self._lib.panda_session_set_execution_target(self._h, target)
+        if rc:
+            raise RuntimeError(f"set_execution_target failed: {rc}")
+
+    def engine_warmup(self) -> None:
+        """Spawn + ping the engine worker now (surfaces spawn errors)."""
+        rc = self._lib.panda_session_engine_warmup(self._h)
+        if rc:
+            raise RuntimeError(f"engine warmup failed: {rc}")
 
     def cache_bases(self, blob: bytes) -> int:
         idx = self._lib.panda_session_cache_bases(self._h, blob, len(blob))

@@ -496,12 +496,165 @@ extern "C" int panda_ntt_execute_host(const char *curve_name,
 #include <cstring>
 #include <string>
 
+#include <csignal>
+#include <dlfcn.h>
+#include <sys/wait.h>
+#include <unistd.h>
+
+// Execution targets: HOST runs the in-process CPU pipeline above; ENGINE
+// dispatches to the accelerated TPU engine through a long-lived worker
+// subprocess (panda_tpu/interop/worker.py).  The worker boundary is the
+// TPU analog of the reference's C-ABI-to-CUDA-unit dispatch
+// (panda_interface.cu:152-191): a non-Python prover linking this library
+// gets TPU-computed results byte-identical to the Python byte API.
+enum panda_execution_target { PANDA_TARGET_HOST = 0, PANDA_TARGET_ENGINE = 1 };
+
 struct panda_session {
   std::string curve;
   int coord_type = 0;  // 0 = Jacobian, 1 = Projective
+  int target = PANDA_TARGET_HOST;
   std::vector<std::vector<unsigned char>> bases;
   std::vector<std::vector<unsigned char>> scalars;
+  // worker process state (ENGINE target)
+  pid_t worker_pid = -1;
+  int to_worker = -1;    // write end
+  int from_worker = -1;  // read end
 };
+
+// ---- worker process plumbing ----------------------------------------------
+
+static bool write_all(int fd, const void *buf, size_t n) {
+  const unsigned char *p = (const unsigned char *)buf;
+  while (n) {
+    ssize_t w = write(fd, p, n);
+    if (w <= 0) return false;
+    p += w;
+    n -= (size_t)w;
+  }
+  return true;
+}
+
+static bool read_all(int fd, void *buf, size_t n) {
+  unsigned char *p = (unsigned char *)buf;
+  while (n) {
+    ssize_t r = read(fd, p, n);
+    if (r <= 0) return false;
+    p += r;
+    n -= (size_t)r;
+  }
+  return true;
+}
+
+// Package root = two directories above this shared object
+// (panda_tpu/native/libpanda_host.so), so the worker import works without
+// an installed package.  PANDA_WORKER_PYTHON overrides the interpreter.
+static std::string package_root() {
+  Dl_info info;
+  if (!dladdr((void *)&package_root, &info) || !info.dli_fname) return "";
+  std::string p(info.dli_fname);
+  for (int up = 0; up < 2; up++) {
+    size_t k = p.find_last_of('/');
+    if (k == std::string::npos) return "";
+    p.resize(k);
+  }
+  return p;
+}
+
+static int worker_spawn(panda_session *s) {
+  if (s->worker_pid > 0) return 0;
+  // A worker that died mid-call must surface as rc=9, not SIGPIPE-kill
+  // the caller.  Only replace the default disposition — a host app's own
+  // SIGPIPE handler is left alone.
+  struct sigaction sa;
+  if (sigaction(SIGPIPE, nullptr, &sa) == 0 && sa.sa_handler == SIG_DFL) {
+    sa.sa_handler = SIG_IGN;
+    sigaction(SIGPIPE, &sa, nullptr);
+  }
+  int in_pipe[2], out_pipe[2];  // parent->child, child->parent
+  if (pipe(in_pipe) != 0) return 2;
+  if (pipe(out_pipe) != 0) {
+    close(in_pipe[0]); close(in_pipe[1]);
+    return 2;
+  }
+  pid_t pid = fork();
+  if (pid < 0) {
+    close(in_pipe[0]); close(in_pipe[1]);
+    close(out_pipe[0]); close(out_pipe[1]);
+    return 2;
+  }
+  if (pid == 0) {  // child: stdin/stdout are the protocol pipes
+    dup2(in_pipe[0], 0);
+    dup2(out_pipe[1], 1);
+    close(in_pipe[0]); close(in_pipe[1]);
+    close(out_pipe[0]); close(out_pipe[1]);
+    std::string root = package_root();
+    if (!root.empty()) {
+      const char *pp = getenv("PYTHONPATH");
+      std::string val = pp && *pp ? root + ":" + pp : root;
+      setenv("PYTHONPATH", val.c_str(), 1);
+    }
+    const char *py = getenv("PANDA_WORKER_PYTHON");
+    if (!py || !*py) py = "python3";
+    execlp(py, py, "-m", "panda_tpu.interop.worker", (char *)nullptr);
+    _exit(127);
+  }
+  close(in_pipe[0]);
+  close(out_pipe[1]);
+  s->worker_pid = pid;
+  s->to_worker = in_pipe[1];
+  s->from_worker = out_pipe[0];
+  return 0;
+}
+
+static void worker_shutdown(panda_session *s) {
+  if (s->worker_pid <= 0) return;
+  close(s->to_worker);    // EOF -> worker exits cleanly
+  close(s->from_worker);
+  int status;
+  waitpid(s->worker_pid, &status, 0);
+  s->worker_pid = -1;
+  s->to_worker = s->from_worker = -1;
+}
+
+// One request/reply round trip; returns a PandaError code.  ``out`` is
+// resized to the reply payload.
+static int worker_call(panda_session *s, uint32_t cmd,
+                       const std::vector<std::vector<unsigned char>> &body,
+                       std::vector<unsigned char> &out) {
+  int rc = worker_spawn(s);
+  if (rc) return rc;
+  uint32_t clen = (uint32_t)s->curve.size();
+  if (!write_all(s->to_worker, &cmd, 4) ||
+      !write_all(s->to_worker, &clen, 4) ||
+      !write_all(s->to_worker, s->curve.data(), clen))
+    return 9;
+  for (const auto &part : body)
+    if (!write_all(s->to_worker, part.data(), part.size())) return 9;
+  int32_t code;
+  uint64_t outlen;
+  if (!read_all(s->from_worker, &code, 4) ||
+      !read_all(s->from_worker, &outlen, 8))
+    return 9;  // INTERNAL: worker died
+  out.resize(outlen);
+  if (outlen && !read_all(s->from_worker, out.data(), outlen)) return 9;
+  return code;
+}
+
+static std::vector<unsigned char> le64(uint64_t v) {
+  std::vector<unsigned char> b(8);
+  memcpy(b.data(), &v, 8);
+  return b;
+}
+
+static std::vector<unsigned char> le32x(std::initializer_list<uint32_t> vs) {
+  std::vector<unsigned char> b;
+  for (uint32_t v : vs) {
+    unsigned char w[4];
+    memcpy(w, &v, 4);
+    b.insert(b.end(), w, w + 4);
+  }
+  return b;
+}
 
 extern "C" int panda_get_device_number(int *count) {
   // Host pipeline: one "device" (the CPU), mirroring panda_interface.cu:11.
@@ -517,12 +670,37 @@ extern "C" panda_session *panda_session_create(const char *curve_name) {
   return s;
 }
 
-extern "C" void panda_session_destroy(panda_session *s) { delete s; }
+extern "C" void panda_session_destroy(panda_session *s) {
+  if (!s) return;
+  worker_shutdown(s);
+  delete s;
+}
 
 extern "C" int panda_session_set_config(panda_session *s, int coord_type) {
   if (!s || (coord_type != 0 && coord_type != 1)) return 1;  // INVALID_VALUE
   s->coord_type = coord_type;
   return 0;
+}
+
+// Select where this session executes: 0 = in-process CPU host pipeline
+// (default), 1 = the accelerated engine via the worker subprocess.  The
+// reference's C ABI reaches its accelerated units in-process
+// (panda_interface.cu:152-170); here the engine lives in the JAX runtime,
+// so the dispatch crosses a pipe instead of a CUDA context.
+extern "C" int panda_session_set_execution_target(panda_session *s,
+                                                  int target) {
+  if (!s || (target != PANDA_TARGET_HOST && target != PANDA_TARGET_ENGINE))
+    return 1;  // INVALID_VALUE
+  s->target = target;
+  return 0;
+}
+
+// Eagerly start (and ping) the engine worker so spawn/import errors
+// surface at init time rather than inside the first MSM call.
+extern "C" int panda_session_engine_warmup(panda_session *s) {
+  if (!s) return 8;
+  std::vector<unsigned char> out;
+  return worker_call(s, 0, {}, out);
 }
 
 // Cache a bases blob; returns the cache index (wrapper.rs:154) or -1.
@@ -547,13 +725,35 @@ extern "C" long panda_session_cache_scalars(panda_session *s,
   return (long)(s->scalars.size() - 1);
 }
 
+static int session_msm_dispatch(panda_session *s,
+                                const unsigned char *scalars, size_t slen,
+                                const unsigned char *bases, size_t blen,
+                                unsigned char *out) {
+  if (s->target == PANDA_TARGET_ENGINE) {
+    Curve *cv = get_curve(s->curve.c_str());
+    std::vector<unsigned char> body, reply;
+    auto sl = le64(slen), bl = le64(blen);
+    body.insert(body.end(), sl.begin(), sl.end());
+    body.insert(body.end(), scalars, scalars + slen);
+    body.insert(body.end(), bl.begin(), bl.end());
+    body.insert(body.end(), bases, bases + blen);
+    int rc = worker_call(s, 1, {body}, reply);
+    if (rc) return rc;
+    size_t want = (size_t)cv->fp.bytes() * 3;
+    if (reply.size() != want) return 9;
+    memcpy(out, reply.data(), want);
+    return 0;
+  }
+  return panda_msm_execute_host(s->curve.c_str(), scalars, slen, bases, blen,
+                                out, s->coord_type);
+}
+
 extern "C" int panda_session_msm(panda_session *s,
                                  const unsigned char *scalars, size_t slen,
                                  const unsigned char *bases, size_t blen,
                                  unsigned char *out) {
   if (!s) return 8;  // NOT_INITIALIZED
-  return panda_msm_execute_host(s->curve.c_str(), scalars, slen, bases, blen,
-                                out, s->coord_type);
+  return session_msm_dispatch(s, scalars, slen, bases, blen, out);
 }
 
 // MSM with cached inputs (unit.rs:103/190/277); pass -1 to use fresh bytes.
@@ -574,14 +774,30 @@ extern "C" int panda_session_msm_cached(panda_session *s,
     bases = s->bases[bases_index].data();
     blen = s->bases[bases_index].size();
   }
-  return panda_msm_execute_host(s->curve.c_str(), scalars, slen, bases, blen,
-                                out, s->coord_type);
+  return session_msm_dispatch(s, scalars, slen, bases, blen, out);
 }
 
 extern "C" int panda_session_ntt(panda_session *s, unsigned char *data,
                                  size_t len, unsigned int log_n,
                                  const unsigned char *omega, int inverse) {
   if (!s) return 8;
+  if (s->target == PANDA_TARGET_ENGINE) {
+    Curve *cv = get_curve(s->curve.c_str());
+    std::vector<unsigned char> body, reply;
+    auto hdr = le32x({log_n, (uint32_t)(inverse ? 1 : 0),
+                      (uint32_t)(omega ? 1 : 0)});
+    body.insert(body.end(), hdr.begin(), hdr.end());
+    if (omega)
+      body.insert(body.end(), omega, omega + cv->fr.bytes());
+    auto dl = le64(len);
+    body.insert(body.end(), dl.begin(), dl.end());
+    body.insert(body.end(), data, data + len);
+    int rc = worker_call(s, 2, {body}, reply);
+    if (rc) return rc;
+    if (reply.size() != len) return 9;
+    memcpy(data, reply.data(), len);  // in-place, like the host path
+    return 0;
+  }
   return panda_ntt_execute_host(s->curve.c_str(), data, len, log_n, omega,
                                 inverse);
 }
