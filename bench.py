@@ -1,22 +1,34 @@
 """Headline benchmark: BN254 MSM + NTT throughput on the local device.
 
-Prints exactly ONE JSON line:
+Prints exactly ONE JSON line (stdout):
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Progress/timing detail goes to stderr so a driver timeout still leaves a
+diagnosis trail.
 
-The reference (JasonHopeSpace/panda) publishes no numbers (BASELINE.md), so
-``vs_baseline`` is the ratio against the recorded same-size figure in
-``BENCH_HISTORY.json`` when present, else 1.0.
+Budget discipline (round-3 verdict: BENCH_r03 rc=124 — the driver's
+wall-clock budget expired before anything printed).  Cold-start cost in
+this environment is dominated by remote XLA compiles (~3-20 min per
+distinct jitted shape), so the restructure minimizes COMPILES, not work:
 
-Correctness gates (always on unless PANDA_BENCH_CHECK=0) — a failed gate
-is a FAILED BENCH (rc != 0), by design (round-2 verdict: an rc!=0 bench
-means a broken build, never ship on top of one):
-  1. an independent small-k slice through the SAME pipeline entry vs the
-     Python big-int oracle (catches corruptions that a same-input
-     cross-check would share);
-  2. the headline-size result cross-checked against a run with a
-     different window width (entirely different digit/bucket split);
-  3. NTT: bit-exact INTT(NTT(x)) == x roundtrip at headline size plus a
-     small forward transform vs a naive O(n^2) big-int oracle.
+  * ONE MSM compile: the headline run itself.  Correctness gate = the
+    FULL big-int oracle at headline size — possible in O(pool) host work
+    because inputs are pool-structured (aggregate scalars by the <=4096
+    distinct points, then oracle-MSM the pool).  This is strictly
+    stronger than round-3's small-k slice + dual-window cross-check
+    (which cost two extra full compiles) — it verifies the exact
+    headline result against an independent big-int implementation.
+  * ONE NTT compile: the forward headline transform.  Gate = direct
+    evaluation of the transform definition Y[k] = P(omega^k) at random
+    spots via host big-int Horner (O(n) mults per spot, seconds), plus
+    bit-exact INTT roundtrip when budget remains (the roundtrip costs a
+    second compile, so it is deadline-gated via PANDA_BENCH_BUDGET_S).
+
+A failed gate is a FAILED BENCH (rc != 0), by design: an rc!=0 bench
+means a broken build, never ship on top of one.
+
+Timing note: on the axon platform ``block_until_ready`` does NOT wait
+(tools/profile_msm.py); every timed section fetches a small host value
+derived from the full output so the clock covers real completion.
 """
 
 import json
@@ -34,11 +46,41 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cc_tpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+T0 = time.perf_counter()
 LOG_N = int(os.environ.get("PANDA_BENCH_LOG_N", "20"))
 LOG_NTT = int(os.environ.get("PANDA_BENCH_NTT_LOG_N", "20"))
 REPS = int(os.environ.get("PANDA_BENCH_REPS", "3"))
 CHECK = os.environ.get("PANDA_BENCH_CHECK", "1") == "1"
+# Soft deadline (seconds of total bench wall-clock): optional sections are
+# skipped when the projected finish would cross it.  The required
+# headline sections always run to completion.
+BUDGET = float(os.environ.get("PANDA_BENCH_BUDGET_S", "1500"))
 HIST = pathlib.Path(__file__).resolve().parent / "BENCH_HISTORY.json"
+
+_SECS = {}
+
+
+def _elapsed():
+    return time.perf_counter() - T0
+
+
+def _log(msg):
+    print(f"[bench +{_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+class _section:
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        _log(f"{self.name}...")
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self.t0
+        _SECS[self.name] = round(dt, 2)
+        _log(f"{self.name}: {dt:.1f}s")
 
 
 def _build_inputs(curve, n, rng, seed):
@@ -102,45 +144,33 @@ def bench_msm(curve, extras):
 
     n = 1 << LOG_N
     rng = np.random.default_rng(20260816)
-    px, py, scalars, pts, sv = _build_inputs(curve, n, rng, 20260816)
+    with _section("msm inputs"):
+        px, py, scalars, pts, sv = _build_inputs(curve, n, rng, 20260816)
 
     c = msm_ops.window_bits(LOG_N)
     run = _msm_run_fn(curve, c)
-    res = run(px, py, scalars)             # compile + warm-up
+    with _section("msm compile+first run"):
+        res = run(px, py, scalars)
 
     if CHECK:
-        # Gate 1: independent small-k full-oracle slice through the SAME
-        # pipeline (fresh inputs, not a slice of the timed arrays).
-        ko = min(LOG_N, 12)
-        rng2 = np.random.default_rng(7)
-        spx, spy, ssc, spts, ssv = _build_inputs(curve, 1 << ko, rng2, 7)
-        co = msm_ops.window_bits(ko)
-        sres = _msm_run_fn(curve, co)(spx, spy, ssc)
-        agg = {}
-        for p, s in zip(spts, ssv):
-            agg[p] = (agg.get(p, 0) + s) % curve.fr.modulus
-        sexp = curve_ref.msm_oracle(curve, list(agg), list(agg.values()))
-        assert sres == sexp, f"small-k oracle slice failed (2^{ko}, c={co})"
-        extras["msm_oracle_slice"] = f"2^{ko} ok"
-
-        # Gate 2: headline result vs full oracle (small) or an
-        # independently parameterized run (different window width ->
-        # entirely different digit/bucket decomposition).
-        if LOG_N <= 16:
+        # FULL-oracle gate at headline size: aggregate the scalars by the
+        # <=4096 distinct pooled points (MSM is linear in repeated
+        # points), then run the independent big-int oracle on the pool.
+        # One compile total, and the gate covers the exact timed result.
+        with _section("msm full-oracle gate"):
             agg = {}
             for p, s in zip(pts, sv):
                 agg[p] = (agg.get(p, 0) + s) % curve.fr.modulus
             exp = curve_ref.msm_oracle(curve, list(agg), list(agg.values()))
-        else:
-            c2 = c - 1 if c > 4 else c + 1
-            exp = _msm_run_fn(curve, c2)(px, py, scalars)
-        assert res == exp, "bench result != oracle"
+            assert res == exp, f"bench MSM result != big-int oracle (2^{LOG_N})"
+        extras["msm_oracle"] = f"full @2^{LOG_N} ok (pool-aggregated)"
 
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        run(px, py, scalars)
-        best = min(best, time.perf_counter() - t0)
+    with _section("msm timing"):
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            run(px, py, scalars)
+            best = min(best, time.perf_counter() - t0)
     return n / best                         # points per second
 
 
@@ -153,62 +183,84 @@ def bench_ntt(curve, extras):
     fr = curve.fr
     n = 1 << LOG_NTT
     rng = np.random.default_rng(3)
-    # Random Montgomery-form field elements (uniform canonical values via
-    # a pooled big-int draw + numpy take).
-    import random as _random
-    _pr = _random.Random(3)
-    POOL = min(n, 1 << 14)
-    pool_vals = [_pr.randrange(fr.modulus) for _ in range(POOL)]
-    pool = codec.ints_to_limbs(fr, [fr.to_mont_int(v) for v in pool_vals])
-    idx = rng.integers(POOL, size=n)
-    x = jnp.asarray(np.take(pool, idx, axis=1))
+    with _section("ntt inputs+tables"):
+        import random as _random
+        _pr = _random.Random(3)
+        POOL = min(n, 1 << 14)
+        pool_vals = [_pr.randrange(fr.modulus) for _ in range(POOL)]
+        pool = codec.ints_to_limbs(fr, [fr.to_mont_int(v) for v in pool_vals])
+        idx = rng.integers(POOL, size=n)
+        x = jnp.asarray(np.take(pool, idx, axis=1))
+        vals = [pool_vals[i] for i in idx]      # plain-int view for the gate
+        tables = ntt_ops.make_tables(fr, LOG_NTT)
 
-    tables = ntt_ops.make_tables(fr, LOG_NTT)
     fwd = lambda a: ntt_ops.run_ntt(fr, a, tables, inverse=False)
-    inv = lambda a: ntt_ops.run_ntt(fr, a, tables, inverse=True)
-    y = jax.block_until_ready(fwd(x))       # compile + warm
+    # Axon's block_until_ready does not wait; fetching a tiny reduction of
+    # the output is the only honest completion barrier.  The checksum is a
+    # separate dispatch, so the timed graph is exactly the transform.
+    csum = jax.jit(lambda a: a.sum(dtype=jnp.uint32))
+    with _section("ntt compile+first run"):
+        y = fwd(x)
+        np.asarray(csum(y))
 
     if CHECK:
-        # Gate 3a: bit-exact roundtrip at headline size.  run_ntt
-        # canonicalizes, so the roundtrip of canonical input is exact.
-        back = np.asarray(inv(y))
-        x_can = np.asarray(x)
-        assert (back == x_can).all(), "NTT/INTT roundtrip mismatch"
-        # Gate 3b: small forward transform vs naive big-int oracle.
-        kn = 8
-        sx_vals = [_pr.randrange(fr.modulus) for _ in range(1 << kn)]
-        sx = jnp.asarray(codec.ints_to_limbs(
-            fr, [fr.to_mont_int(v) for v in sx_vals]))
-        st = ntt_ops.make_tables(fr, kn)
-        sy = np.asarray(ntt_ops.run_ntt(fr, sx, st, inverse=False))
-        got = codec.limbs_to_ints(fr, sy)
-        rinv = pow(fr.r, -1, fr.modulus)
-        got = [v * rinv % fr.modulus for v in got]
-        w = st.omega
-        m = fr.modulus
-        npow = [pow(w, i, m) for i in range(1 << kn)]
-        exp = [sum(sx_vals[j] * npow[(i * j) % (1 << kn)] for j in
-                   range(1 << kn)) % m for i in range(1 << kn)]
-        assert got == exp, "small NTT != naive oracle"
-        extras["ntt_oracle_slice"] = f"2^{kn} ok, roundtrip 2^{LOG_NTT} ok"
+        # Direct-definition gate: Y[k] = sum_j x_j w^(jk) = P(w^k),
+        # evaluated at random spots by host big-int Horner — O(n) mults
+        # per spot, no extra compile, covers the exact headline output.
+        with _section("ntt spot-oracle gate"):
+            m = fr.modulus
+            rinv = pow(fr.r, -1, m)
+            w = tables.omega
+            y_np = np.asarray(y)
+            spots = [int(k) for k in rng.integers(n, size=4)]
+            from panda_tpu.fields.config import limbs_to_int
+            for k in spots:
+                wk = pow(w, k, m)
+                acc = 0
+                for coeff in reversed(vals):
+                    acc = (acc * wk + coeff) % m
+                got = limbs_to_int(y_np[:, k]) * rinv % m
+                assert got == acc, f"NTT spot {k} != P(w^{k})"
+        extras["ntt_oracle"] = f"4 spots of 2^{LOG_NTT} == P(w^k) ok"
 
-    best = float("inf")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fwd(x))
-        best = min(best, time.perf_counter() - t0)
+    with _section("ntt timing"):
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            np.asarray(csum(fwd(x)))
+            best = min(best, time.perf_counter() - t0)
+
+    # Optional (budget-gated): bit-exact INTT roundtrip at headline size.
+    # Costs a second NTT compile, so project its cost from the measured
+    # forward compile and skip cleanly if the deadline would be crossed.
+    if CHECK:
+        est = 1.3 * _SECS.get("ntt compile+first run", 300.0) + 30.0
+        if _elapsed() + est <= BUDGET:
+            with _section("ntt roundtrip gate"):
+                back = np.asarray(ntt_ops.run_ntt(fr, y, tables, inverse=True))
+                assert (back == np.asarray(x)).all(), \
+                    "NTT/INTT roundtrip mismatch"
+            extras["ntt_roundtrip"] = f"2^{LOG_NTT} bit-exact ok"
+        else:
+            _log(f"skipping INTT roundtrip (est {est:.0f}s would cross "
+                 f"budget {BUDGET:.0f}s)")
+            extras["ntt_roundtrip"] = "skipped (budget)"
+
     return n / best                         # elements per second
 
 
 def main():
     from panda_tpu.curves.config import BN254
 
+    _log(f"budget {BUDGET:.0f}s, MSM 2^{LOG_N}, NTT 2^{LOG_NTT}, "
+         f"checks {'on' if CHECK else 'OFF'}")
     extras = {}
     msm_ps = bench_msm(BN254, extras)
     ntt_ps = bench_ntt(BN254, extras)
     extras["ntt_metric"] = f"bn254_ntt_2^{LOG_NTT}_throughput"
     extras["ntt_value"] = round(ntt_ps, 1)
     extras["ntt_unit"] = "elements/s"
+    extras["secs"] = _SECS
 
     vs = 1.0
     if HIST.exists():
@@ -227,6 +279,7 @@ def main():
         "vs_baseline": round(vs, 4),
         **extras,
     }))
+    _log(f"done in {_elapsed():.1f}s")
 
 
 if __name__ == "__main__":
