@@ -22,7 +22,6 @@ domain [0, 2p).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,14 +41,41 @@ def _use_fmul(batch_elems: int) -> bool:
     return backend.kernels_enabled()
 
 
-class NttTables(NamedTuple):
-    """Device-resident per-(field, log_n) tables (reference: ``fft.cu:63-73``)."""
-    log_n: int
-    bitrev: jnp.ndarray        # (n,) int32 permutation
-    w_pows: jnp.ndarray        # (L, n/2) forward twiddles, Montgomery
-    w_inv_pows: jnp.ndarray    # (L, n/2) inverse twiddles, Montgomery
-    n_inv: np.ndarray          # (L,) n^-1 Montgomery limbs (host constant)
-    omega: int = 0             # forward root (plain int; 0 = unknown)
+class NttTables:
+    """Per-(field, log_n) tables (reference: ``fft.cu:63-73``).
+
+    The stagewise-engine arrays (bit-reversal permutation and the two
+    (L, n/2) twiddle tables) build LAZILY on first attribute access: the
+    default MXU engine needs only ``omega``/``log_n`` (its own constant
+    tables live in the mxu plan cache), and eagerly building 2*2^(n-1)
+    twiddles costs ~log_n sequential device dispatches — measured minutes
+    of remote-compile wall clock at 2^20 on the axon platform.
+    """
+
+    def __init__(self, spec: FieldSpec, log_n: int, omega: int):
+        self.spec = spec
+        self.log_n = log_n
+        self.omega = omega                 # forward root (plain int)
+
+    @functools.cached_property
+    def bitrev(self) -> jnp.ndarray:       # (n,) int32 permutation
+        return jnp.asarray(bit_reverse_permutation(self.log_n))
+
+    @functools.cached_property
+    def w_pows(self) -> jnp.ndarray:       # (L, n/2) fwd twiddles, Montgomery
+        return _power_table(self.spec, self.omega,
+                            max((1 << self.log_n) // 2, 1))
+
+    @functools.cached_property
+    def w_inv_pows(self) -> jnp.ndarray:   # (L, n/2) inverse twiddles
+        return _power_table(self.spec,
+                            pow(self.omega, -1, self.spec.modulus),
+                            max((1 << self.log_n) // 2, 1))
+
+    @functools.cached_property
+    def n_inv(self) -> np.ndarray:         # (L,) n^-1 Montgomery limbs (host)
+        return self.spec.mont_limbs(
+            pow(1 << self.log_n, -1, self.spec.modulus))
 
 
 def bit_reverse_permutation(log_n: int) -> np.ndarray:
@@ -76,22 +102,12 @@ def _power_table(spec: FieldSpec, omega: int, length: int) -> jnp.ndarray:
 
 
 def make_tables(spec: FieldSpec, log_n: int, omega: int | None = None) -> NttTables:
-    """Build NTT tables.  omega is a plain (non-Montgomery) integer; defaults
-    to the field's canonical 2^log_n root of unity (generator convention of
-    ``bn254/paramter.cuh:241-258``)."""
-    n = 1 << log_n
+    """Build NTT tables (lazily — see NttTables).  omega is a plain
+    (non-Montgomery) integer; defaults to the field's canonical 2^log_n
+    root of unity (generator convention of ``bn254/paramter.cuh:241-258``)."""
     if omega is None:
         omega = spec.root_of_unity(log_n)
-    omega_inv = pow(omega, -1, spec.modulus)
-    n_inv = pow(n, -1, spec.modulus)
-    return NttTables(
-        log_n=log_n,
-        bitrev=jnp.asarray(bit_reverse_permutation(log_n)),
-        w_pows=_power_table(spec, omega, max(n // 2, 1)),
-        w_inv_pows=_power_table(spec, omega_inv, max(n // 2, 1)),
-        n_inv=spec.mont_limbs(n_inv),
-        omega=omega,
-    )
+    return NttTables(spec, log_n, omega)
 
 
 def _butterfly_stages(spec: FieldSpec, x: jnp.ndarray, w_pows: jnp.ndarray,
