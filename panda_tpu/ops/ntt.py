@@ -89,16 +89,20 @@ def bit_reverse_permutation(log_n: int) -> np.ndarray:
 
 
 def _power_table(spec: FieldSpec, omega: int, length: int) -> jnp.ndarray:
-    """[w^0, ..., w^(length-1)] Montgomery limbs, built by doubling on device."""
-    table = jnp.asarray(spec.mont_limbs(1))[:, None]
-    size = 1
-    while size < length:
-        step = pow(omega, size, spec.modulus)
-        step_l = jnp.asarray(spec.mont_limbs(step))[:, None]
-        ext = mont.mont_mul(spec, table, step_l)
-        table = jnp.concatenate([table, ext], axis=1)
-        size *= 2
-    return table[:, :length]
+    """[w^0, ..., w^(length-1)] Montgomery limbs.
+
+    Built HOST-SIDE (big-int cumprod + limb split, ~2s at 2^19): the
+    previous device-doubling chain compiled ~log2(length) distinct shapes,
+    minutes of remote-compile wall clock per cold process on axon.
+    """
+    from ..fields import codec
+    p = spec.modulus
+    vals = [0] * length
+    acc = 1
+    for i in range(length):
+        vals[i] = spec.to_mont_int(acc)
+        acc = acc * omega % p
+    return jnp.asarray(codec.ints_to_limbs(spec, vals))
 
 
 def make_tables(spec: FieldSpec, log_n: int, omega: int | None = None) -> NttTables:

@@ -225,17 +225,26 @@ class FusedNttPlan:
 
     @staticmethod
     def _t1_table(spec: FieldSpec, w: int, la: int, lb: int) -> jnp.ndarray:
-        """T1[k2, j1] = w^(j1*k2), Montgomery (L, B, A) — built by device
-        doubling along j1 (A is small; lb may be large)."""
+        """T1[k2, j1] = w^(j1*k2), Montgomery (L, B, A).
+
+        Built HOST-SIDE (big-int row cumprods, ~5-10s at 2^20 entries):
+        the previous device chain issued A-1 sequential muls plus a
+        doubling power table — dozens of remote compiles per cold
+        process on axon."""
+        from ..fields import codec
         A, B = 1 << la, 1 << lb
-        # col j1=0: ones; multiply column-wise by step = w^{k2} per row.
-        from ..ops.ntt import _power_table
-        wk2 = _power_table(spec, w, B)                     # (L, B): w^{k2}
-        cols = [jnp.broadcast_to(
-            jnp.asarray(spec.mont_limbs(1))[:, None], wk2.shape)]
-        for _ in range(A - 1):
-            cols.append(mont.mont_mul(spec, cols[-1], wk2))
-        return jnp.stack(cols, axis=-1)                    # (L, B, A)
+        p = spec.modulus
+        vals = [0] * (B * A)          # row-major (k2, j1)
+        step = 1                      # w^{k2}
+        for k2 in range(B):
+            acc = 1
+            base = k2 * A
+            for j1 in range(A):
+                vals[base + j1] = spec.to_mont_int(acc)
+                acc = acc * step % p
+            step = step * w % p
+        limbs = codec.ints_to_limbs(spec, vals)            # (L, B*A)
+        return jnp.asarray(limbs.reshape(spec.n_limbs, B, A))
 
 
 @functools.lru_cache(maxsize=16)
