@@ -78,16 +78,24 @@ def main():
         fr, [fr.to_mont_int(v) for v in sv]))
 
     c = msm_ops.window_bits(LOG_N)
-    W = msm_ops.signed_window_count(fr.bits, c)
+    W_all = msm_ops.signed_window_count(fr.bits, c)
+    # PANDA_PROF_WG profiles a window GROUP of this size (the real
+    # pipeline's per-pass unit at large n, where staging all W windows at
+    # once would blow HBM); full(ws) below always runs the real pipeline.
+    W = int(os.environ.get("PANDA_PROF_WG", W_all))
     m = msm_ops.default_lanes(n, W)
-    print(f"n=2^{LOG_N} c={c} W={W} lanes={m} steps={n // m}")
+    print(f"n=2^{LOG_N} c={c} W={W} (of {W_all}) lanes={m} steps={n // m}",
+          flush=True)
 
     # --- recode ----------------------------------------------------------
     rec = jax.jit(functools.partial(
         msm_ops.signed_digit_arrays, fr, c=c, scalars_in_mont=True))
     t, (mags, negs) = timed(rec, scalars)
-    print(f"recode   {t * 1e3:9.2f} ms")
+    print(f"recode   {t * 1e3:9.2f} ms", flush=True)
     mags, negs = jax.block_until_ready((mags, negs))
+    mags_all, negs_all = mags, negs      # full set for the end-to-end run
+    if W < W_all:               # staged sections profile one window group
+        mags, negs = mags[:W], negs[:W]
 
     # --- sort ------------------------------------------------------------
     def do_sort(digits, signs):
@@ -98,7 +106,7 @@ def main():
                                     dimension=1)
 
     t, (keys, sidx) = timed(jax.jit(do_sort), mags, negs)
-    print(f"sort     {t * 1e3:9.2f} ms")
+    print(f"sort     {t * 1e3:9.2f} ms", flush=True)
 
     steps = -(-n // m)
     T = (W * m) // 1024
@@ -119,7 +127,7 @@ def main():
         return phase_a_pallas.split_words(q)
 
     t, q5 = timed(jax.jit(do_gather), pk, oi)
-    print(f"gather   {t * 1e3:9.2f} ms   ({q5.size * 4 / 1e9:.2f} GB out)")
+    print(f"gather   {t * 1e3:9.2f} ms   ({q5.size * 4 / 1e9:.2f} GB out)", flush=True)
 
     # --- phase-A kernel --------------------------------------------------
     D = 1 << (c - 1)
@@ -150,10 +158,10 @@ def main():
     # --- end to end ------------------------------------------------------
     full = jax.jit(lambda a, b, d, s: tuple(
         msm_ops.window_sums(curve, a, b, d, c, signs=s)))
-    t, _ = timed(full, px, py, mags, negs)
-    print(f"full(ws) {t * 1e3:9.2f} ms")
+    t, _ = timed(full, px, py, mags_all, negs_all)
+    print(f"full(ws) {t * 1e3:9.2f} ms", flush=True)
     tput = n / t
-    print(f"window_sums throughput {tput / 1e6:.2f} M points/s")
+    print(f"window_sums throughput {tput / 1e6:.2f} M points/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -201,6 +201,65 @@ def check_kernel_ab():
            time.time() - t0, f"kernels on == off == oracle, c={c}")
 
 
+def check_kernel_ab_large():
+    """Large-k kernel A/B at 2^20 (round-3 verdict #10: perf work on the
+    big shapes must not silently break Mosaic numerics).  kernels=on vs
+    off at the real production size/width, plus the pool-aggregated full
+    oracle."""
+    import jax.numpy as jnp
+    t0 = time.time()
+    n = 1 << 20
+    c = msm_ops.window_bits(20)
+    px, py, scalars, pts, sv = pool_inputs(BN254, n, seed=78)
+
+    def run(kmode):
+        fn = jax.jit(lambda a, b, s: jnp.stack(
+            msm_ops.window_sums_fn(BN254, c, kernels=kmode)(a, b, s)))
+        sums = np.asarray(fn(px, py, scalars))
+        return msm_ops.host_horner(BN254, list(sums), c)
+
+    r_on = run("on")
+    r_off = run("off")
+    agg = {}
+    for p, s in zip(pts, sv):
+        agg[p] = (agg.get(p, 0) + s) % BN254.fr.modulus
+    want = curve_ref.msm_oracle(BN254, list(agg), list(agg.values()))
+    record("bn254_msm_2^20_kernel_ab", r_on == r_off == want,
+           time.time() - t0, f"kernels on == off == oracle, c={c}")
+
+
+def check_cached_bases_precompute():
+    """Byte API: cached-bases calls (which use the session's precomputed
+    packed gather table) must be byte-identical to fresh-bytes calls and
+    skip ingest+precompute per call (round-3 verdict #4)."""
+    from panda_tpu.runtime import api
+    from panda_tpu.runtime.manager import InitUnitType, PandaManager
+    t0 = time.time()
+    k = 16
+    n = 1 << k
+    fp, fr = BN254.fp, BN254.fr
+    px, py, scalars, pts, sv = pool_inputs(BN254, n, seed=79)
+    # rebuild wire blobs from the pool inputs
+    bases_blob = b"".join(
+        fp.to_wire_int(x).to_bytes(fp.n_bytes, "little")
+        + fp.to_wire_int(y).to_bytes(fp.n_bytes, "little") for x, y in pts)
+    scalars_blob = b"".join(
+        fr.to_wire_int(s).to_bytes(fr.n_bytes, "little") for s in sv)
+    gm = PandaManager.init_all(0, InitUnitType.MSM, [bases_blob])
+    t_cold0 = time.time()
+    fresh = api.msm(gm, scalars_blob, bases_blob)
+    t_cold = time.time() - t_cold0
+    # warm the cached path's executable, then time a steady call
+    cached = api.msm_with_cached_bases(gm, scalars_blob, 0)
+    t_c0 = time.time()
+    cached2 = api.msm_with_cached_bases(gm, scalars_blob, 0)
+    t_cached = time.time() - t_c0
+    ok = fresh == cached == cached2
+    record("bn254_msm_2^16_cached_bases", ok, time.time() - t0,
+           f"byte-identical; steady cached {t_cached:.2f}s vs fresh-bytes "
+           f"{t_cold:.2f}s (fresh incl. wire decode + upload + pack)")
+
+
 def check_bls12_377():
     t0 = time.time()
     # Small full-oracle slice.
@@ -238,6 +297,8 @@ def main():
     print("backend:", RESULTS["backend"], flush=True)
     check_golden_k13()
     check_kernel_ab()
+    check_kernel_ab_large()
+    check_cached_bases_precompute()
     check_ntt_sizes()
     check_msm_sweep()
     check_bls12_377()
