@@ -429,6 +429,15 @@ def _bucket_tables(curve: CurveSpec, px, py, digits, c: int, m: int,
 # — safe headroom in 16 GB HBM for sort buffers and bucket tables.
 _PHASE_A_BUDGET = 1 << 22
 
+# Point-chunk size for large n — deliberately SMALLER than the staging
+# budget: XLA's HBM row gather degrades ~3x per index once the gather
+# table outgrows ~2^20 64-byte rows (measured on v5e: 8.1 ns/row from a
+# 2^20-row table vs 24 ns/row from 2^22, tools/profile_msm.py round 4).
+# Chunking points at 2^20 keeps every per-pass gather in the fast regime;
+# the window-group size within a chunk still derives from
+# _PHASE_A_BUDGET (wg = budget/chunk = 4 windows per pass).
+_CHUNK_N = 1 << 20
+
 
 def _window_group_size(n: int, W: int) -> int:
     g = max(_PHASE_A_BUDGET // max(n, 1), 1)
@@ -437,7 +446,7 @@ def _window_group_size(n: int, W: int) -> int:
 
 def window_sums(curve: CurveSpec, px, py, digits, c: int,
                 lanes: int | None = None, signs=None,
-                kernels: str | None = None) -> ProjPoint:
+                kernels: str | None = None, pk=None) -> ProjPoint:
     """Per-window partial sums G_w.  digits: (W, N).  Returns (W, L) stacks.
 
     This is the unit that distributed MSM shards: each device computes
@@ -451,6 +460,12 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
     launch sequence (``msm_cuda.cuh:604-610`` allocates the full
     groups_num*msm_size index arena up front — unworkable at k >= 20 on a
     16 GB chip).
+
+    ``pk``: optional precomputed packed-coordinate gather table
+    (``phase_a_pallas.pack_coords_words(fp, px, py)``) — the
+    bases-dependent, scalar-independent device precompute a session caches
+    per bases set (the TPU analog of the reference's cached-bases
+    precompute hook, ``msm_host.cuh:248-265``); built on the fly if None.
     """
     from . import backend
     W, n = digits.shape
@@ -458,14 +473,14 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
     # Pin the mode for the whole trace: nested gates (point kernels,
     # weighted scan, digit recode) all see the same coherent choice.
     with backend.forced(mode):
-        if n > _PHASE_A_BUDGET:
+        if n > _CHUNK_N:
             return _window_sums_chunked(curve, px, py, digits, c, lanes,
-                                        signs, kernels=mode)
+                                        signs, kernels=mode, pk=pk)
         wg = _window_group_size(n, W)
         if wg >= W:
             m = min(lanes or default_lanes(n, W), n)
-            pk = (_pack_words(curve, px, py)
-                  if _use_phase_a_kernel(W, m, mode) else None)
+            if pk is None and _use_phase_a_kernel(W, m, mode):
+                pk = _pack_words(curve, px, py)
             buckets = _bucket_tables(curve, px, py, digits, c, m,
                                      signs=signs, pk=pk, kernels=mode)
             sums = red.weighted_window_sum(curve, buckets)      # (L, W)
@@ -482,9 +497,10 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
               else jnp.zeros((groups, wg, n), jnp.bool_))
         m = min(lanes or default_lanes(n, wg), n)
         # The packed gather table is digit-independent: build it ONCE
-        # outside the per-group scan body.
-        pk = (_pack_words(curve, px, py)
-              if _use_phase_a_kernel(wg, m, mode) else None)
+        # outside the per-group scan body (or take the session's cached
+        # copy).
+        if pk is None and _use_phase_a_kernel(wg, m, mode):
+            pk = _pack_words(curve, px, py)
 
         def body(_, inp):
             d, s = inp
@@ -500,20 +516,27 @@ def window_sums(curve: CurveSpec, px, py, digits, c: int,
 
 
 def _window_sums_chunked(curve: CurveSpec, px, py, digits, c: int,
-                         lanes, signs, kernels: str | None = None) -> ProjPoint:
-    """Point-chunked window sums for n beyond the phase-A staging budget.
+                         lanes, signs, kernels: str | None = None,
+                         pk=None) -> ProjPoint:
+    """Point-chunked window sums for n beyond ``_CHUNK_N``.
 
-    Splits the points into ``_PHASE_A_BUDGET``-sized chunks, runs the full
-    window-sum pipeline per chunk under one compiled ``lax.scan`` body, and
-    combines the per-chunk (W,)-batched partials with complete point adds
-    — the single-chip analog of the multi-chip points sharding
-    (parallel/msm_sharded.py), and the fix for the reference's up-front
-    full-size index arena (``msm_cuda.cuh:604-610``) which cannot scale to
-    k >= 23 on one device.  Padded points carry digit 0 = the excluded
-    zero bucket, so they contribute the identity.
+    Splits the points into ``_CHUNK_N``-sized chunks (sized to keep the
+    per-pass coordinate gather in XLA's fast small-table regime — see the
+    ``_CHUNK_N`` comment) and runs the window-grouped phase-A per chunk
+    under one compiled ``lax.scan`` body.  Unlike a per-chunk
+    window-sum, the DENSE BUCKET TABLES accumulate across chunks (one
+    complete add of the (L, W, D) table per chunk — buckets are sums, so
+    chunk order is immaterial) and the weighted reduction runs ONCE at
+    the end: at 2^22 this replaces 16 per-group weighted reductions
+    (~0.46 s) with one (~34 ms).  The single-chip analog of the
+    multi-chip points sharding (parallel/msm_sharded.py), and the fix for
+    the reference's up-front full-size index arena
+    (``msm_cuda.cuh:604-610``) which cannot scale to k >= 23 on one
+    device.  Padded points carry digit 0 = the excluded zero bucket, so
+    they contribute the identity.
     """
     W, n = digits.shape
-    ncap = _PHASE_A_BUDGET
+    ncap = _CHUNK_N
     chunks = -(-n // ncap)
     pad = chunks * ncap - n
     if pad:
@@ -522,25 +545,60 @@ def _window_sums_chunked(curve: CurveSpec, px, py, digits, c: int,
         py = jnp.pad(py, ((0, 0), (0, pad)))
         if signs is not None:
             signs = jnp.pad(signs, ((0, 0), (0, pad)))
+        if pk is not None:
+            pk = jnp.pad(pk, ((0, pad), (0, 0)))
     L = px.shape[0]
+    wg = _window_group_size(ncap, W)
+    groups = -(-W // wg)
+    wpad = groups * wg - W
+    if wpad:
+        # Padded windows get digit 0 everywhere -> identity sums.
+        digits = jnp.pad(digits, ((0, wpad), (0, 0)))
+        if signs is not None:
+            signs = jnp.pad(signs, ((0, wpad), (0, 0)))
+    Wp = groups * wg
+    m = min(lanes or default_lanes(ncap, wg), ncap)
+    D = (1 << (c - 1)) if signs is not None else (1 << c) - 1
+
     pxr = jnp.moveaxis(px.reshape(L, chunks, ncap), 1, 0)     # (C, L, ncap)
     pyr = jnp.moveaxis(py.reshape(L, chunks, ncap), 1, 0)
-    dgr = jnp.moveaxis(digits.reshape(W, chunks, ncap), 1, 0)  # (C, W, ncap)
-    sgr = (jnp.moveaxis(signs.reshape(W, chunks, ncap), 1, 0)
-           if signs is not None else jnp.zeros((chunks, W, ncap), jnp.bool_))
+    # (C, G, wg, ncap)
+    dgr = jnp.moveaxis(digits.reshape(Wp, chunks, ncap), 1, 0) \
+        .reshape(chunks, groups, wg, ncap)
+    sgr = (jnp.moveaxis(signs.reshape(Wp, chunks, ncap), 1, 0)
+           if signs is not None
+           else jnp.zeros((Wp, chunks, ncap), jnp.bool_)
+           ).reshape(chunks, groups, wg, ncap)
+    pkr = (pk.reshape(chunks, ncap, pk.shape[-1])
+           if pk is not None else None)
+    mode = _mode(kernels)
 
-    def body(acc, inp):
-        pxc, pyc, dc, sc = inp
-        part = window_sums(curve, pxc, pyc, dc, c, lanes=lanes,
-                           signs=sc if signs is not None else None,
-                           kernels=kernels)
-        # window_sums returns (W, L) stacks; point ops are limb-leading.
-        part = ProjPoint(*(jnp.transpose(a) for a in part))   # (L, W)
-        return cp.add(curve, acc, part), None
+    def chunk_body(acc, inp):
+        pxc, pyc, dc, sc, pkc = inp
+        if pkc is None and _use_phase_a_kernel(wg, m, mode):
+            pkc = _pack_words(curve, pxc, pyc)
 
-    acc0 = cp.identity(curve, (W,))                           # (L, W)
-    acc, _ = jax.lax.scan(body, acc0, (pxr, pyr, dgr, sgr))
-    return ProjPoint(*(jnp.transpose(a) for a in acc))        # (W, L)
+        def group_body(_, gin):
+            d, s = gin
+            bt = _bucket_tables(curve, pxc, pyc, d, c, m,
+                                signs=s if signs is not None else None,
+                                pk=pkc, kernels=mode)
+            return None, tuple(bt)                  # (L, wg, D) x3
+
+        _, bts = jax.lax.scan(group_body, None, (dc, sc))   # (G, L, wg, D)
+        part = ProjPoint(*(
+            jnp.moveaxis(a, 0, 1).reshape(L, Wp, D) for a in bts))
+        return tuple(cp.add(curve, ProjPoint(*acc), part)), None
+
+    acc0 = tuple(cp.identity(curve, (Wp, D)))               # (L, Wp, D)
+    if pkr is None:
+        def body_nopk(acc, inp):
+            return chunk_body(acc, (*inp, None))
+        acc, _ = jax.lax.scan(body_nopk, acc0, (pxr, pyr, dgr, sgr))
+    else:
+        acc, _ = jax.lax.scan(chunk_body, acc0, (pxr, pyr, dgr, sgr, pkr))
+    sums = red.weighted_window_sum(curve, ProjPoint(*acc))  # (L, Wp)
+    return ProjPoint(*(jnp.transpose(a)[:W] for a in sums))  # (W, L)
 
 
 def signed_digit_arrays(fr: FieldSpec, scalars, c: int,
@@ -564,24 +622,29 @@ def signed_digit_arrays(fr: FieldSpec, scalars, c: int,
 
 
 def window_sums_fn(curve: CurveSpec, c: int, scalars_in_mont: bool = True,
-                   kernels: str | None = None):
-    """(px, py, scalars) -> window-sum arrays (W, L) x3 — the device part
-    of the byte-API MSM (the Horner tail runs on host, as in the reference:
-    ``msm_cuda.cuh:738-743`` copies the window sums to host and combines
-    there)."""
+                   kernels: str | None = None, with_pk: bool = False):
+    """(px, py, scalars[, pk]) -> window-sum arrays (W, L) x3 — the device
+    part of the byte-API MSM (the Horner tail runs on host, as in the
+    reference: ``msm_cuda.cuh:738-743`` copies the window sums to host and
+    combines there).  ``with_pk`` adds a 4th argument: the session-cached
+    packed gather table for the bases set."""
 
-    def fn(px, py, scalars):
+    def fn(px, py, scalars, pk=None):
         mags, negs = signed_digit_arrays(curve.fr, scalars, c,
                                          scalars_in_mont, kernels=kernels)
         return tuple(window_sums(curve, px, py, mags, c, signs=negs,
-                                 kernels=kernels))
+                                 kernels=kernels, pk=pk))
 
-    return fn
+    if with_pk:
+        return fn
+    return lambda px, py, scalars: fn(px, py, scalars)
 
 
 @functools.lru_cache(maxsize=64)
-def window_sums_jitted(curve: CurveSpec, c: int, scalars_in_mont: bool = True):
-    return jax.jit(window_sums_fn(curve, c, scalars_in_mont))
+def window_sums_jitted(curve: CurveSpec, c: int, scalars_in_mont: bool = True,
+                       with_pk: bool = False):
+    return jax.jit(window_sums_fn(curve, c, scalars_in_mont,
+                                  with_pk=with_pk))
 
 
 def host_horner(curve: CurveSpec, sums_np, c: int):

@@ -57,20 +57,27 @@ class NttTables:
         self.log_n = log_n
         self.omega = omega                 # forward root (plain int)
 
+    # Each table materializes under ensure_compile_time_eval so a FIRST
+    # access from inside a jit trace still caches a concrete array, not a
+    # tracer (which would leak and poison every later use).
+
     @functools.cached_property
     def bitrev(self) -> jnp.ndarray:       # (n,) int32 permutation
-        return jnp.asarray(bit_reverse_permutation(self.log_n))
+        with jax.ensure_compile_time_eval():
+            return jnp.asarray(bit_reverse_permutation(self.log_n))
 
     @functools.cached_property
     def w_pows(self) -> jnp.ndarray:       # (L, n/2) fwd twiddles, Montgomery
-        return _power_table(self.spec, self.omega,
-                            max((1 << self.log_n) // 2, 1))
+        with jax.ensure_compile_time_eval():
+            return _power_table(self.spec, self.omega,
+                                max((1 << self.log_n) // 2, 1))
 
     @functools.cached_property
     def w_inv_pows(self) -> jnp.ndarray:   # (L, n/2) inverse twiddles
-        return _power_table(self.spec,
-                            pow(self.omega, -1, self.spec.modulus),
-                            max((1 << self.log_n) // 2, 1))
+        with jax.ensure_compile_time_eval():
+            return _power_table(self.spec,
+                                pow(self.omega, -1, self.spec.modulus),
+                                max((1 << self.log_n) // 2, 1))
 
     @functools.cached_property
     def n_inv(self) -> np.ndarray:         # (L,) n^-1 Montgomery limbs (host)

@@ -37,7 +37,7 @@ from .manager import PandaManager
 # MSM
 # ---------------------------------------------------------------------------
 
-def _msm_run(gm: PandaManager, scalars, bases_xy) -> bytes:
+def _msm_run(gm: PandaManager, scalars, bases_xy, pk=None) -> bytes:
     curve = gm.curve
     px, py = bases_xy
     n = px.shape[-1]
@@ -45,9 +45,12 @@ def _msm_run(gm: PandaManager, scalars, bases_xy) -> bytes:
         raise PandaRuntimeError(PandaError.INVALID_CONFIGURATION,
                                 "scalars/bases length mismatch")
     c = msm_ops.window_bits(max(n - 1, 1).bit_length(), bits=curve.fr.bits)
-    fn = msm_ops.window_sums_jitted(curve, c)
+    fn = msm_ops.window_sums_jitted(curve, c, with_pk=pk is not None)
+    args = (jnp.asarray(px), jnp.asarray(py), jnp.asarray(scalars))
+    if pk is not None:                       # session-cached precompute
+        args = args + (pk,)
     with trace.timer("msm: window sums (device)"):
-        sums = fn(jnp.asarray(px), jnp.asarray(py), jnp.asarray(scalars))
+        sums = fn(*args)
         gm.note_issued(*sums)                           # wrapper.rs:291 analog
         sums = [np.asarray(a) for a in sums]            # d2h: W tiny points
         gm.note_issued()       # d2h completed the work: nothing in flight,
@@ -89,7 +92,7 @@ def msm_with_cached_bases(gm: PandaManager, scalars_bytes: bytes,
     if not 0 <= bases_index < len(gm.d_bases):
         raise PandaRuntimeError(PandaError.INVALID_VALUE, "bases index")
     return _msm_run(gm, _ingest_scalars(gm, scalars_bytes),
-                    gm.d_bases[bases_index])
+                    gm.d_bases[bases_index], pk=gm.bases_pk(bases_index))
 
 
 def msm_with_cached_scalars(gm: PandaManager, bases_bytes: bytes,
@@ -108,7 +111,8 @@ def msm_with_cached_input(gm: PandaManager, scalars_index: int = 0,
         raise PandaRuntimeError(PandaError.INVALID_VALUE, "bases index")
     if not 0 <= scalars_index < len(gm.d_scalars):
         raise PandaRuntimeError(PandaError.INVALID_VALUE, "scalars index")
-    return _msm_run(gm, gm.d_scalars[scalars_index], gm.d_bases[bases_index])
+    return _msm_run(gm, gm.d_scalars[scalars_index], gm.d_bases[bases_index],
+                    pk=gm.bases_pk(bases_index))
 
 
 def msm_host(gm: PandaManager, scalars_bytes: bytes, bases_bytes: bytes) -> bytes:

@@ -41,6 +41,12 @@ def _wire_in_jitted(spec):
     return jax.jit(lambda a: mont.from_wire(spec, a))
 
 
+@functools.lru_cache(maxsize=16)
+def _pack_words_jitted(spec):
+    from ..ops import phase_a_pallas
+    return jax.jit(functools.partial(phase_a_pallas.pack_coords_words, spec))
+
+
 class InitUnitType(enum.Enum):
     """``PandaGpuManagerInitUnitType`` (``wrapper.rs:24-29``)."""
     NONE = "none"
@@ -87,6 +93,8 @@ class PandaManager:
     # raw pointers in wrapper.rs:16-17.
     d_bases: list = field(default_factory=list)
     d_scalars: list = field(default_factory=list)
+    # per-bases-set precompute (packed gather tables), same indexing
+    _bases_pk: list = field(default_factory=list)
     _device: object = None
     _ntt_tables: dict = field(default_factory=dict)
     _ntt_omega_override: Optional[int] = None
@@ -145,12 +153,25 @@ class PandaManager:
         return len(self.d_bases)
 
     def init_msm_cached_bases(self, blob: bytes) -> int:
-        """``init_msm_cached_bases`` (``wrapper.rs:154``) -> cache index."""
+        """``init_msm_cached_bases`` (``wrapper.rs:154``) -> cache index.
+
+        Beyond the upload, precomputes the bases-dependent device tables
+        the MSM pipeline needs per call (today: the packed-coordinate
+        gather table) — the TPU analog of the reference's cached-bases
+        precompute hook (``msm_host.cuh:248-265`` pre-generates per-base
+        multiples).  Cached calls then skip wire decode, upload, domain
+        shift AND the packing."""
         self._require_init()
         fp = self.curve.fp
         x, y = codec.points_bytes_to_limbs(fp, blob)
-        self.d_bases.append((self._upload(fp, x), self._upload(fp, y)))
+        dx, dy = self._upload(fp, x), self._upload(fp, y)
+        self.d_bases.append((dx, dy))
+        self._bases_pk.append(_pack_words_jitted(fp)(dx, dy))
         return len(self.d_bases) - 1
+
+    def bases_pk(self, index: int):
+        """Precomputed packed gather table for bases set ``index``."""
+        return self._bases_pk[index]
 
     def init_msm_cached_scalars(self, blob: bytes) -> int:
         """``init_msm_cached_scalars`` (``wrapper.rs:171``) -> cache index."""
@@ -219,6 +240,8 @@ class PandaManager:
         for x, y in self.d_bases:
             x.block_until_ready()
             y.block_until_ready()
+        for pk in self._bases_pk:
+            pk.block_until_ready()
         for s in self.d_scalars:
             s.block_until_ready()
         for a in self._last_issued:
@@ -229,6 +252,7 @@ class PandaManager:
         """``deinit``/``destroy`` (``wrapper.rs:275-312``): drop caches."""
         self.d_bases.clear()
         self.d_scalars.clear()
+        self._bases_pk.clear()
         self._ntt_tables.clear()
 
     destroy = deinit

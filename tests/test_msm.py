@@ -140,9 +140,11 @@ def test_msm_window_grouping(rng, monkeypatch):
 
 
 def test_msm_point_chunking(rng, monkeypatch):
-    """The point-chunked (n beyond the phase-A budget) path is
-    bit-identical: 24 points through 16-point chunks (2 chunks + pad)."""
-    monkeypatch.setattr(msm_ops, "_PHASE_A_BUDGET", 16)
+    """The point-chunked (n beyond _CHUNK_N) path is bit-identical:
+    24 points through 16-point chunks (2 chunks + pad), window-grouped
+    within each chunk (budget 32 -> wg groups of 2)."""
+    monkeypatch.setattr(msm_ops, "_CHUNK_N", 16)
+    monkeypatch.setattr(msm_ops, "_PHASE_A_BUDGET", 32)
     _run_case(BN254, rng, 24, c=7)
 
 
