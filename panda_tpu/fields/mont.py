@@ -284,9 +284,36 @@ def cond_sub(a: jnp.ndarray, c_limbs: np.ndarray) -> jnp.ndarray:
 
 
 def canonical(spec: FieldSpec, a: FE | jnp.ndarray) -> jnp.ndarray:
-    """Full reduction to [0, p) with canonical 15-bit limbs (raw array out)."""
+    """Full reduction to [0, p) with canonical 15-bit limbs (raw array out).
+
+    Loose bounds (value >= 16p) reduce with ONE Montgomery multiply by
+    rep(1) = R mod p — a*(R mod p)*R^-1 = a mod p, output < 2p — instead
+    of a log2(k)-deep conditional-subtract ladder: each cond_sub is a full
+    borrow chain + select, and at the NTT engine's ~2^8*p output bound
+    the ladder cost half the whole 2^20 transform (13.8 ms of 28.5 ms
+    true, tools/profile_ntt3.py round 4).
+    """
     if not isinstance(a, FE):
         a = fe(spec, a)
+    if a.vb > 16 * spec.modulus and a.vb <= spec.r:
+        batch = a.v.shape[1:]
+        n = int(np.prod(batch)) if batch else 1
+        from ..ops import backend               # deferred: avoids cycle
+        if backend.kernels_enabled() and n % 1024 == 0:
+            # Fused-kernel multiply (the jnp schoolbook path would cost
+            # ~60 ms at (L, 2^20); the Pallas fmul ~1.2 ms true).  On
+            # non-kernel backends the ladder below stays — its graph is
+            # far smaller to compile and those paths are test-sized.
+            from ..ops import point_pallas
+            a = norm(spec, a)
+            L = spec.n_limbs
+            ob = jnp.broadcast_to(
+                _const(spec.mont_limbs(1), 1), (L, n))
+            v = point_pallas.fmul(spec, a.v.reshape(L, n), ob,
+                                  vb_a=a.vb, vb_b=spec.modulus,
+                                  interpret=backend.interpret())
+            a = FE(v.reshape((L,) + batch), 1 << LIMB_BITS,
+                   2 * spec.modulus)
     a = norm(spec, a)
     v = a.v
     k = max((a.vb + spec.modulus - 1) // spec.modulus, 1)

@@ -140,28 +140,33 @@ def dft_apply(spec: FieldSpec, x: jnp.ndarray, log_k: int,
     assert K == 1 << log_k
     fp = _fold_plan(spec, log_k)
     D = DIG_PER_LIMB * L
-    # --- limbs -> 5-bit digit planes, row-block layout (nb, K*D) ---------
+    # --- limbs -> 5-bit digit planes, (K*D, nb) BATCH-MINOR ---------------
+    # nb stays the minor (lane) dimension end-to-end: the only transpose
+    # permutes the small leading axes over contiguous nb-rows (near-free),
+    # where the previous (nb, K*D)-major form paid two full-tensor
+    # relayouts per pass (measured ~4 ms/pass of the 6.25 ms dft_apply,
+    # tools/profile_ntt3.py round 4).
     d = jnp.stack([x & DIG_MAX, (x >> DIG_BITS) & DIG_MAX,
-                   (x >> (2 * DIG_BITS)) & DIG_MAX], axis=-1)  # (L,K,nb,3)
-    d = d.transpose(2, 1, 0, 3).reshape(nb, K * D).astype(jnp.int8)
-    # --- the MXU pass -----------------------------------------------------
-    acc = jnp.einsum("bi,ij->bj", d, mat,
-                     preferred_element_type=jnp.int32)         # (nb, K*D)
+                   (x >> (2 * DIG_BITS)) & DIG_MAX], axis=0)   # (3,L,K,nb)
+    d = d.transpose(2, 1, 0, 3).reshape(K * D, nb).astype(jnp.int8)
+    # --- the MXU pass: out[j, b] = sum_i M[i, j] * d[i, b] ----------------
+    acc = jax.lax.dot_general(mat, d, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)  # (K*D, nb)
     # --- regroup digits -> limbs (uint32, exact) --------------------------
     # The third digit lands at bit 10 of limb i; only its low 5 bits fit —
     # the rest spills into limb i+1.  This keeps every uint32 cell below
     # 2^32 for any K the int32-accumulator bound admits (K=128 included).
-    acc = acc.reshape(nb, K, L, DIG_PER_LIMB).astype(jnp.uint32)
-    a2 = acc[..., 2]
+    acc = acc.reshape(K, L, DIG_PER_LIMB, nb).astype(jnp.uint32)
+    a2 = acc[:, :, 2]                                          # (K, L, nb)
     spill = jnp.concatenate(
-        [jnp.zeros_like(a2[..., :1]), a2[..., :-1] >> DIG_BITS], axis=-1)
-    limbs = (acc[..., 0] + (acc[..., 1] << DIG_BITS)
-             + ((a2 & DIG_MAX) << (2 * DIG_BITS)) + spill)     # (nb, K, L)
-    limbs = limbs.transpose(2, 1, 0)                           # (L, K, nb)
+        [jnp.zeros_like(a2[:, :1]), a2[:, :-1] >> DIG_BITS], axis=1)
+    limbs = (acc[:, :, 0] + (acc[:, :, 1] << DIG_BITS)
+             + ((a2 & DIG_MAX) << (2 * DIG_BITS)) + spill)     # (K, L, nb)
+    limbs = jnp.moveaxis(limbs, 1, 0)                          # (L, K, nb)
     # Spill out of the last limb's third digit lands at position L.  When
     # the value bound fits L limbs it is provably zero (a nonzero word
     # there would put the value >= 2^(15L)); otherwise it must be added.
-    spill_top = a2[..., -1].transpose(1, 0) >> DIG_BITS        # (K, nb)
+    spill_top = a2[:, -1] >> DIG_BITS                          # (K, nb)
     # --- carry-propagate over n_limbs_ext limbs ---------------------------
     out = []
     carry = jnp.zeros_like(limbs[0])
