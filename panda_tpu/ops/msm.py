@@ -431,12 +431,15 @@ _PHASE_A_BUDGET = 1 << 22
 
 # Point-chunk size for large n — deliberately SMALLER than the staging
 # budget: XLA's HBM row gather degrades ~3x per index once the gather
-# table outgrows ~2^20 64-byte rows (measured on v5e: 8.1 ns/row from a
-# 2^20-row table vs 24 ns/row from 2^22, tools/profile_msm.py round 4).
-# Chunking points at 2^20 keeps every per-pass gather in the fast regime;
-# the window-group size within a chunk still derives from
-# _PHASE_A_BUDGET (wg = budget/chunk = 4 windows per pass).
-_CHUNK_N = 1 << 20
+# table outgrows ~2^20 64-byte rows (measured on v5e: 6.6-8.1 ns/row from
+# a 2^20-row table vs 24-26 ns/row from 2^21+; sub-2^17 tables reach
+# ~2.3 ns/row — tools/profile_gather6.py sweep).  Chunking points keeps
+# every per-pass gather in the fast regime; the window-group size within
+# a chunk still derives from _PHASE_A_BUDGET (wg = budget/chunk windows
+# per pass).  PANDA_MSM_CHUNK_LOG overrides for on-chip tuning.
+import os as _os
+
+_CHUNK_N = 1 << int(_os.environ.get("PANDA_MSM_CHUNK_LOG", "20"))
 
 
 def _window_group_size(n: int, W: int) -> int:
