@@ -86,3 +86,74 @@ def shard_inputs(mesh: Mesh, axis: str, *arrays):
     """Place (L, N) arrays with N sharded across the mesh axis."""
     sharding = NamedSharding(mesh, P(None, axis))
     return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+# ---------------------------------------------------------------------------
+# Window sharding — the TP-analog axis (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+def msm_window_sharded_fn(curve: CurveSpec, mesh: Mesh, axis: str, c: int,
+                          kernels: str | None = None):
+    """Build a shard_map'd MSM with WINDOWS sharded over ``axis``.
+
+    The dual decomposition to points sharding: every device holds ALL
+    points/scalars (replicated, like a tensor-parallel weight replica)
+    and computes the window sums for ITS slice of the W windows — digit
+    extraction, sort, phase A and the bucket reduction all run on a
+    W/D-window batch with zero cross-device traffic; the only collective
+    is the final all_gather of (W/D, L) partial stacks.  Communication
+    volume is W*3*L*4 bytes total (independent of n), so this axis
+    composes with points sharding for a 2-D mesh at pod scale: points
+    amortize HBM, windows amortize compute.
+
+    W is padded to a multiple of the mesh axis size with zero-digit
+    windows (identity sums), so any c works on any mesh.
+    """
+    fr = curve.fr
+    n_dev = mesh.shape[axis]
+    W = msm_ops.signed_window_count(fr.bits, c)
+    Wp = -(-W // n_dev) * n_dev
+
+    def local(px, py, scalars):
+        s_std = mont.from_mont(fr, scalars)
+        mags, negs = msm_ops.extract_signed_digits(fr, s_std, c)
+        pad = Wp - mags.shape[0]
+        if pad:
+            mags = jnp.pad(mags, ((0, pad), (0, 0)))
+            negs = jnp.pad(negs, ((0, pad), (0, 0)))
+        idx = jax.lax.axis_index(axis)
+        k = Wp // n_dev
+        mine_m = jax.lax.dynamic_slice_in_dim(mags, idx * k, k, axis=0)
+        mine_s = jax.lax.dynamic_slice_in_dim(negs, idx * k, k, axis=0)
+        sums = msm_ops.window_sums(curve, px, py, mine_m, c, signs=mine_s,
+                                   kernels=kernels)           # (k, L)
+        return tuple(jax.lax.all_gather(a, axis, axis=0, tiled=True)
+                     for a in sums)                            # (Wp, L)
+
+    shard = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+
+    def run(px, py, scalars):
+        out = shard(px, py, scalars)
+        return tuple(a[:W] for a in out)
+
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def msm_window_sharded_jitted(curve: CurveSpec, mesh: Mesh, axis: str,
+                              c: int):
+    return jax.jit(msm_window_sharded_fn(curve, mesh, axis, c))
+
+
+def msm_window_sharded(curve: CurveSpec, mesh: Mesh, axis: str, c: int,
+                       px, py, scalars):
+    """Window-sharded MSM: replicated inputs, windows split across the
+    mesh, host Horner tail.  Bit-identical to the single-device result."""
+    import numpy as np
+    sums = msm_window_sharded_jitted(curve, mesh, axis, c)(px, py, scalars)
+    return msm_ops.host_horner(curve, [np.asarray(a) for a in sums], c)

@@ -48,6 +48,20 @@ def test_msm_sharded_matches_local(mesh, rng):
     assert got == exp == oracle.msm_oracle(curve, pts, scalars)
 
 
+@pytest.mark.slow   # shard_map MSM compile cost, as above
+def test_msm_window_sharded_matches_oracle(mesh, rng):
+    """Window sharding (the TP-analog axis): replicated points, windows
+    split across the mesh; only the (W, L) partials cross ICI."""
+    curve = BN254
+    n, c = 32, 5
+    pts = [oracle.random_point(curve, rng) for _ in range(n)]
+    scalars = [rng.randrange(curve.fr.modulus) for _ in range(n)]
+    px, py = points_to_device(curve, pts)
+    s = to_mont_limbs(curve.fr, scalars)
+    got = msm_sharded.msm_window_sharded(curve, mesh, "d", c, px, py, s)
+    assert got == oracle.msm_oracle(curve, pts, scalars)
+
+
 @pytest.mark.parametrize("inverse", [False, True])
 def test_ntt_sharded_matches_local(mesh, rng, inverse):
     spec = BN254.fr
