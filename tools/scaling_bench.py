@@ -111,10 +111,33 @@ def main():
     from panda_tpu.curves.config import BN254
 
     devs = jax.devices()
-    sizes = [s for s in (1, 2, 4, 8) if s <= len(devs)]
+    # PANDA_SCALE_SIZES: comma list of mesh sizes for THIS process.  On
+    # the virtual CPU mesh the accumulated XLA:CPU JIT state from smaller
+    # meshes makes the 8-device compile die with an internal LLVM
+    # allocation failure (observed twice, r04) — running each size in a
+    # fresh process avoids it; rows merge into the --out file.
+    env_sizes = os.environ.get("PANDA_SCALE_SIZES")
+    wanted = ([int(x) for x in env_sizes.split(",")] if env_sizes
+              else [1, 2, 4, 8])
+    sizes = [s for s in wanted if s <= len(devs)]
     n = 1 << LOG_N
+    path = pathlib.Path(
+        sys.argv[sys.argv.index("--out") + 1]
+        if "--out" in sys.argv else "SCALING.json")
     out = {"platform": jax.default_backend(), "log_n": LOG_N, "rows": []}
+    if path.exists():
+        try:
+            prev = json.loads(path.read_text())
+            if prev.get("log_n") == LOG_N:
+                out["rows"] = [r for r in prev.get("rows", [])
+                               if r["devices"] not in sizes]
+        except Exception:
+            pass
     base_msm = base_ntt = None
+    for r in out["rows"]:
+        if r["devices"] == 1:
+            base_msm = r["msm_points_per_s"]
+            base_ntt = r["ntt_elements_per_s"]
     for s in sizes:
         mesh = Mesh(np.array(devs[:s]), ("d",))
         msm_ps = msm_points_per_s(BN254, mesh, n)
@@ -124,16 +147,16 @@ def main():
         row = {
             "devices": s,
             "msm_points_per_s": round(msm_ps, 1),
-            "msm_scaling_eff": round(msm_ps / (base_msm * s), 3),
+            "msm_scaling_eff": (round(msm_ps / (base_msm * s), 3)
+                                if base_msm else None),
             "ntt_elements_per_s": round(ntt_ps, 1),
-            "ntt_scaling_eff": round(ntt_ps / (base_ntt * s), 3),
+            "ntt_scaling_eff": (round(ntt_ps / (base_ntt * s), 3)
+                                if base_ntt else None),
         }
         out["rows"].append(row)
         print(json.dumps(row), flush=True)
-    path = pathlib.Path(
-        sys.argv[sys.argv.index("--out") + 1]
-        if "--out" in sys.argv else "SCALING.json")
-    path.write_text(json.dumps(out, indent=1))
+        out["rows"].sort(key=lambda r: r["devices"])
+        path.write_text(json.dumps(out, indent=1))   # incremental
 
 
 if __name__ == "__main__":
