@@ -139,6 +139,62 @@ def main():
     print(f"fmul 2^20 x{R}: {t * 1e3:8.2f} ms -> {per * 1e3:8.2f} ms/op",
           flush=True)
 
+    # --- glue stages, R-chained ------------------------------------------
+    K2 = 128
+    nb2 = n // K2
+    z0 = jnp.asarray(np.take(lp, rng.integers(pool, size=n), axis=1)
+                     ).reshape(L, K2, nb2)
+    DIG = ntt_mxu.DIG_BITS
+    DM = ntt_mxu.DIG_MAX
+
+    def digits_op(a):
+        a = (a & np.uint32(0x7FFF)).reshape(L, K2, nb2)
+        d = jnp.stack([a & DM, (a >> DIG) & DM, (a >> (2 * DIG)) & DM],
+                      axis=-1)
+        d = d.transpose(2, 1, 0, 3).reshape(nb2, K2 * D).astype(jnp.int8)
+        # close the chain back to the input layout/dtype
+        return d.reshape(nb2, K2, L, 3)[..., 0].transpose(2, 1, 0) \
+            .reshape(L, -1).astype(jnp.uint32)
+
+    t = timed(chain(digits_op, z0.reshape(L, -1)), z0.reshape(L, -1))
+    per = (t - floor) / R
+    print(f"digits+untranspose x{R}: {t * 1e3:8.2f} ms -> "
+          f"{per * 1e3:8.2f} ms/op", flush=True)
+
+    la0 = 7
+    mat0 = jax.block_until_ready(jnp.asarray(
+        ntt_mxu.dft_matrix(spec, la0, pow(3, 1))))
+
+    def dftapply_op(a):
+        y = ntt_mxu.dft_apply(spec, a.reshape(L, K2, nb2) & np.uint32(0x7FFF),
+                              la0, mat0)
+        return y.reshape(L, -1)
+
+    t = timed(chain(dftapply_op, z0.reshape(L, -1)), z0.reshape(L, -1))
+    per = (t - floor) / R
+    print(f"dft_apply(K=128) x{R}: {t * 1e3:8.2f} ms -> "
+          f"{per * 1e3:8.2f} ms/op", flush=True)
+
+    def swap_op(a):
+        y = a.reshape(L, 128, 8192)
+        return jnp.swapaxes(y, 1, 2).reshape(L, -1)
+
+    t = timed(chain(swap_op, z0.reshape(L, -1)), z0.reshape(L, -1))
+    per = (t - floor) / R
+    print(f"swapaxes(128,8192) x{R}: {t * 1e3:8.2f} ms -> "
+          f"{per * 1e3:8.2f} ms/op", flush=True)
+
+    from panda_tpu.fields import mont as _m
+
+    def canon_op(a):
+        return _m.canonical(spec, _m.FE(a & np.uint32(0x7FFF), 1 << 15,
+                                        ntt_mxu._fold_plan(spec, 7).out_vb))
+
+    t = timed(chain(canon_op, z0.reshape(L, -1)), z0.reshape(L, -1))
+    per = (t - floor) / R
+    print(f"canonical 2^20 x{R}: {t * 1e3:8.2f} ms -> "
+          f"{per * 1e3:8.2f} ms/op", flush=True)
+
     # --- stagewise jnp engine for contrast --------------------------------
     tables = ntt_ops.make_tables(spec, 20)
 
