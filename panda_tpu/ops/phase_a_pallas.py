@@ -99,11 +99,19 @@ def n_words32(spec: FieldSpec) -> int:
 
 
 def _unpack_words(spec: FieldSpec, rows):
-    """W32 full 32-bit u32 word tiles -> n_limbs 15-bit limb tiles."""
+    """W32 full 32-bit u32 word tiles -> n_limbs 15-bit limb tiles.
+
+    The packed row covers the < 2p coordinate class (n_words32); specs
+    whose limb count is padded for the R >= 4096p headroom (e.g.
+    BLS12-381: 27 limbs, bits 390+ always zero for coordinates) have top
+    limbs entirely beyond the row — emitted as zero tiles."""
     W32 = len(rows)
     limbs = []
     for i in range(spec.n_limbs):
         j, sh = divmod(LIMB_BITS * i, 32)
+        if j >= W32:
+            limbs.append(jnp.zeros_like(rows[0]))
+            continue
         v = rows[j] >> np.uint32(sh) if sh else rows[j]
         if sh > 32 - LIMB_BITS and j + 1 < W32:
             v = v | (rows[j + 1] << np.uint32(32 - sh))
