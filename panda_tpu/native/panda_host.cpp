@@ -218,7 +218,7 @@ static void pt_add(const Curve &cv, Pt &o, const Pt &P, const Pt &Q) {
 // ---------------------------------------------------------------------------
 
 static Curve *get_curve(const char *name) {
-  static Curve bn254, bls377;
+  static Curve bn254, bls377, bls381;
   static bool init_done = false;
   if (!init_done) {
     {
@@ -250,10 +250,27 @@ static Curve *get_curve(const char *name) {
       bls377.generator = 22;
       bls377.two_adicity = 47;
     }
+    {
+      // BLS12-381: y^2 = x^3 + 4, b3 = 12 (the reference carries the
+      // enum value only — curve.cuh:8-12; parameters wired here)
+      static const u64 fp_mod[6] = {0xb9feffffffffaaabULL, 0x1eabfffeb153ffffULL,
+                                    0x6730d2a0f6b0f624ULL, 0x64774b84f38512bfULL,
+                                    0x4b1ba7b6434bacd7ULL, 0x1a0111ea397fe69aULL};
+      static const u64 fr_mod[4] = {0xffffffff00000001ULL, 0x53bda402fffe5bfeULL,
+                                    0x3339d80809a1d805ULL, 0x73eda753299d7d48ULL};
+      bls381.name = "bls12_381";
+      field_init(bls381.fp, 6, fp_mod);
+      field_init(bls381.fr, 4, fr_mod);
+      u64 twelve[MAXL] = {12};
+      fmul(bls381.fp, bls381.b3, twelve, bls381.fp.r2);
+      bls381.generator = 7;
+      bls381.two_adicity = 32;
+    }
     init_done = true;
   }
   if (!strcmp(name, "bn254")) return &bn254;
   if (!strcmp(name, "bls12_377")) return &bls377;
+  if (!strcmp(name, "bls12_381")) return &bls381;
   return nullptr;
 }
 

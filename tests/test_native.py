@@ -29,8 +29,9 @@ def _blobs(curve, rng, n):
     return pts, scalars, bases, sblob
 
 
-@pytest.mark.parametrize("curve", [panda_tpu.BN254, panda_tpu.BLS12_377],
-                         ids=lambda c: c.name)
+@pytest.mark.parametrize(
+    "curve", [panda_tpu.BN254, panda_tpu.BLS12_377, panda_tpu.BLS12_381],
+    ids=lambda c: c.name)
 def test_session_msm_cached(curve, rng):
     fp = curve.fp
     pts, scalars, bases, sblob = _blobs(curve, rng, 24)
