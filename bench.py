@@ -280,20 +280,24 @@ def bench_ntt(curve, extras):
 
 
 def main():
-    from panda_tpu.curves.config import BN254
+    from panda_tpu.curves.config import CURVES
 
-    _log(f"budget {BUDGET:.0f}s, MSM 2^{LOG_N}, NTT 2^{LOG_NTT}, "
-         f"checks {'on' if CHECK else 'OFF'}")
+    # PANDA_BENCH_CURVE selects the curve (default bn254; BASELINE
+    # config 4 measures bls12_377).
+    cname = os.environ.get("PANDA_BENCH_CURVE", "bn254")
+    curve = CURVES[cname]
+    _log(f"budget {BUDGET:.0f}s, curve {cname}, MSM 2^{LOG_N}, "
+         f"NTT 2^{LOG_NTT}, checks {'on' if CHECK else 'OFF'}")
     extras = {}
-    msm_ps = bench_msm(BN254, extras)
-    ntt_ps = bench_ntt(BN254, extras)
-    extras["ntt_metric"] = f"bn254_ntt_2^{LOG_NTT}_throughput"
+    msm_ps = bench_msm(curve, extras)
+    ntt_ps = bench_ntt(curve, extras)
+    extras["ntt_metric"] = f"{cname}_ntt_2^{LOG_NTT}_throughput"
     extras["ntt_value"] = round(ntt_ps, 1)
     extras["ntt_unit"] = "elements/s"
     extras["secs"] = _SECS
 
     vs = 1.0
-    if HIST.exists():
+    if HIST.exists() and cname == "bn254":
         try:
             hist = json.loads(HIST.read_text())
             base = hist.get(f"msm_points_per_s_2^{LOG_N}") \
@@ -303,7 +307,7 @@ def main():
         except Exception:
             pass
     print(json.dumps({
-        "metric": f"bn254_msm_2^{LOG_N}_throughput",
+        "metric": f"{cname}_msm_2^{LOG_N}_throughput",
         "value": round(msm_ps, 1),
         "unit": "points/s",
         "vs_baseline": round(vs, 4),
