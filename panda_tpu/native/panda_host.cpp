@@ -634,26 +634,45 @@ static void worker_shutdown(panda_session *s) {
 }
 
 // One request/reply round trip; returns a PandaError code.  ``out`` is
-// resized to the reply payload.
+// resized to the reply payload.  Distinguishable failures get distinct
+// codes (the reference's enum spreads CUDA-runtime failures over 30
+// variants, gpu_ffi/common.rs:6-38; the worker boundary has three):
+//   MEMORY_ALLOCATION (2)  spawn failure (pipe/fork resources),
+//   NOT_READY         (3)  worker process died mid-call (pipe EOF) —
+//                          the dead worker is reaped so the next call
+//                          respawns a fresh one,
+//   INTERNAL          (9)  protocol violation (reply shape) — callers
+//                          check payload sizes and return 9 themselves;
+// an engine EXCEPTION arrives as the worker's own named code.
 static int worker_call(panda_session *s, uint32_t cmd,
                        const std::vector<std::vector<unsigned char>> &body,
                        std::vector<unsigned char> &out) {
   int rc = worker_spawn(s);
-  if (rc) return rc;
+  if (rc) return rc;  // 2 = MEMORY_ALLOCATION: could not spawn
   uint32_t clen = (uint32_t)s->curve.size();
   if (!write_all(s->to_worker, &cmd, 4) ||
       !write_all(s->to_worker, &clen, 4) ||
-      !write_all(s->to_worker, s->curve.data(), clen))
-    return 9;
+      !write_all(s->to_worker, s->curve.data(), clen)) {
+    worker_shutdown(s);
+    return 3;  // NOT_READY: worker gone
+  }
   for (const auto &part : body)
-    if (!write_all(s->to_worker, part.data(), part.size())) return 9;
+    if (!write_all(s->to_worker, part.data(), part.size())) {
+      worker_shutdown(s);
+      return 3;
+    }
   int32_t code;
   uint64_t outlen;
   if (!read_all(s->from_worker, &code, 4) ||
-      !read_all(s->from_worker, &outlen, 8))
-    return 9;  // INTERNAL: worker died
+      !read_all(s->from_worker, &outlen, 8)) {
+    worker_shutdown(s);
+    return 3;  // NOT_READY: worker died before replying
+  }
   out.resize(outlen);
-  if (outlen && !read_all(s->from_worker, out.data(), outlen)) return 9;
+  if (outlen && !read_all(s->from_worker, out.data(), outlen)) {
+    worker_shutdown(s);
+    return 3;
+  }
   return code;
 }
 

@@ -70,3 +70,42 @@ def test_engine_error_propagation(rng):
         with pytest.raises(RuntimeError) as e:
             s.msm(sblob[:7], bases)          # truncated scalars
         assert "5" in str(e.value)           # INVALID_CONFIGURATION
+
+
+def test_worker_death_maps_to_not_ready(monkeypatch):
+    """A worker that cannot start (exec fails -> child exits) surfaces as
+    NOT_READY (3), and the session recovers on the next call once the
+    environment is fixed (the dead worker is reaped and respawned)."""
+    curve = BN254
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    with native.NativeSession(curve) as s:
+        s.set_execution_target(1)
+        monkeypatch.setenv("PANDA_WORKER_PYTHON", "/nonexistent/python")
+        with pytest.raises(RuntimeError) as e:
+            s.engine_warmup()
+        assert "3" in str(e.value)           # NOT_READY
+        monkeypatch.delenv("PANDA_WORKER_PYTHON")
+        s.engine_warmup()                    # fresh worker respawns cleanly
+
+
+def test_worker_protocol_violation_maps_to_internal(monkeypatch, tmp_path,
+                                                    rng):
+    """A worker that replies with a wrong-sized payload (protocol
+    violation) surfaces as INTERNAL (9), distinct from the NOT_READY
+    dead-worker code."""
+    curve = BN254
+    bases, sblob = _blobs(curve, rng, 16)
+    fake = tmp_path / "fake_worker.sh"
+    # Replies to one request with code=0, outlen=5, 5 payload bytes
+    # (an MSM reply must be 3*fp.bytes = 96), then drains stdin to EOF so
+    # the caller's request writes cannot fail first.
+    fake.write_text("#!/bin/sh\n"
+                    "printf '\\0\\0\\0\\0\\5\\0\\0\\0\\0\\0\\0\\0xxxxx'\n"
+                    "cat >/dev/null\n")
+    fake.chmod(0o755)
+    with native.NativeSession(curve) as s:
+        s.set_execution_target(1)
+        monkeypatch.setenv("PANDA_WORKER_PYTHON", str(fake))
+        with pytest.raises(RuntimeError) as e:
+            s.msm(sblob, bases)
+        assert "9" in str(e.value)           # INTERNAL: bad reply shape
