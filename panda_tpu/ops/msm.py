@@ -211,7 +211,18 @@ def _cum_counts(digits: jnp.ndarray, D: int, n_real: int) -> jnp.ndarray:
     maps digit 0 and the dead sentinel out of every one-hot row, so the
     zero bucket enters only through the closed-form ``count0``.
     """
+    from . import backend
     W, N = digits.shape
+    if backend.kernels_enabled() and N % 128 == 0:
+        # Fused kernel: one-hots live in registers, the (HI, LO) count
+        # matrix accumulates in VMEM — the XLA path below materializes
+        # ~6 GB of one-hot int8 tensors in HBM at W=16, N=2^20 (54 ms
+        # measured for ~3 ms of MACs).
+        from . import hist_pallas
+        hist = hist_pallas.hist_counts(digits, D,
+                                       interpret=backend.interpret())
+        count0 = np.int32(n_real) - hist.sum(axis=1, keepdims=True)
+        return count0 + jnp.cumsum(hist, axis=1)      # (W, D) int32
     bins = 1 << max((D - 1).bit_length(), 1)          # power of two >= D
     lo_bits = bins.bit_length() // 2
     LO = 1 << lo_bits

@@ -90,6 +90,31 @@ def dft_matrix(spec: FieldSpec, log_k: int, omega: int,
     return M
 
 
+@functools.lru_cache(maxsize=64)
+def dft_matrix_grouped(spec: FieldSpec, log_k: int, omega: int,
+                       scale: int = 1) -> np.ndarray:
+    """Row/column-permuted :func:`dft_matrix` for :func:`dft_apply2`.
+
+    Index order on BOTH axes: (t, l, k) — digit position major, limb,
+    element — chosen so the operand/accumulator of the digit matmul are
+    plain reshapes of the (L, K, nb) limb tensor with NO transposes:
+
+      * input rows t*(L*K) + l*K + ki are ``(x >> 5t) & 31`` of the
+        natural (L*K, nb) view, three stacked shift/mask copies;
+      * output rows group the three digit-position planes contiguously,
+        so the regroup reads whole (L, K, nb) blocks and the inter-limb
+        spill is a K-row shift.
+    """
+    M = dft_matrix(spec, log_k, omega, scale)
+    K = 1 << log_k
+    L = spec.n_limbs
+    D = DIG_PER_LIMB * L
+    tt, ll, kk = np.meshgrid(np.arange(DIG_PER_LIMB), np.arange(L),
+                             np.arange(K), indexing="ij")
+    new2old = (kk * D + ll * DIG_PER_LIMB + tt).reshape(-1)
+    return np.ascontiguousarray(M[new2old][:, new2old])
+
+
 class _FoldPlan:
     """Exact bound bookkeeping + fold constants for one (spec, K)."""
 
@@ -200,6 +225,64 @@ def dft_apply(spec: FieldSpec, x: jnp.ndarray, log_k: int,
     return jnp.stack(outp)
 
 
+def dft_apply2(spec: FieldSpec, x: jnp.ndarray, log_k: int,
+               mat: jnp.ndarray) -> jnp.ndarray:
+    """Transpose-free :func:`dft_apply`: batched length-K NTT along axis 1
+    of (L, K, nb) via one int8 matmul against the GROUPED matrix
+    (:func:`dft_matrix_grouped`).
+
+    Mathematically identical to ``dft_apply`` (same digit planes, same
+    accumulators, reordered), and bit-identical in output; the digit
+    build and regroup are pure elementwise ops + contiguous row slices of
+    the natural (L*K, nb) layout, where ``dft_apply`` pays a
+    (3, L, K, nb) -> (K*D, nb) relayout on both sides of the matmul.
+    """
+    L, K, nb = x.shape
+    assert K == 1 << log_k
+    fp = _fold_plan(spec, log_k)
+    xf = x.reshape(L * K, nb)
+    d = jnp.concatenate(
+        [xf & DIG_MAX, (xf >> DIG_BITS) & DIG_MAX,
+         (xf >> (2 * DIG_BITS)) & DIG_MAX], axis=0).astype(jnp.int8)
+    acc = jax.lax.dot_general(mat, d, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)  # (3LK, nb)
+    a = acc.reshape(DIG_PER_LIMB, L, K, nb).astype(jnp.uint32)
+    a0, a1, a2 = a[0], a[1], a[2]                                # (L, K, nb)
+    spill = jnp.concatenate(
+        [jnp.zeros_like(a2[:1]), a2[:-1] >> DIG_BITS], axis=0)
+    limbs = (a0 + (a1 << DIG_BITS) + ((a2 & DIG_MAX) << (2 * DIG_BITS))
+             + spill)                                            # (L, K, nb)
+    spill_top = a2[-1] >> DIG_BITS                               # (K, nb)
+    out = []
+    carry = jnp.zeros_like(limbs[0])
+    for i in range(fp.n_limbs_ext):
+        if i < L:
+            s = limbs[i] + carry
+        elif i == L:
+            s = spill_top + carry
+        else:
+            s = carry
+        out.append(s & LIMB_MASK)
+        carry = s >> LIMB_BITS
+    lo = out[:L - 1]
+    hi = out[L - 1:]
+    res = lo + [jnp.zeros_like(lo[0])]
+    t = 0
+    for h in hi:
+        for sub in range(DIG_PER_LIMB):
+            dig = (h >> (DIG_BITS * sub)) & DIG_MAX
+            f = fp.fold[t]
+            res = [r + dig * np.uint32(f[j]) for j, r in enumerate(res)]
+            t += 1
+    outp = []
+    carry = None
+    for i in range(L):
+        s = res[i] if carry is None else res[i] + carry
+        outp.append(s & LIMB_MASK)
+        carry = s >> LIMB_BITS
+    return jnp.stack(outp)
+
+
 def _vmul(spec: FieldSpec, a: jnp.ndarray, b: jnp.ndarray,
           vb_a: int, vb_b: int) -> jnp.ndarray:
     """Variable (elementwise) Montgomery multiply: fused Pallas kernel on
@@ -223,9 +306,16 @@ class MxuNttPlan:
     """
 
     def __init__(self, spec: FieldSpec, log_n: int, omega: int,
-                 maxk: int = 7, scale: int = 1):
+                 maxk: int = 7, scale: int = 1, grouped: bool = True,
+                 fused: bool = False):
         self.spec = spec
         self.log_n = log_n
+        self.grouped = grouped
+        self.fused = fused
+        if fused:
+            assert grouped, "fused kernel consumes the grouped matrices"
+            assert maxk <= 6, "fused kernel needs the DFT matrix in VMEM"
+        mk = dft_matrix_grouped if grouped else dft_matrix
         self.levels = []
         log, w = log_n, omega
         first = True
@@ -237,19 +327,19 @@ class MxuNttPlan:
             from .ntt_pallas import FusedNttPlan
             t1 = FusedNttPlan._t1_table(spec, w, la, lb)       # (L, B, A)
             t1t = jnp.swapaxes(t1, 1, 2)                       # (L, A, B)
-            mat = jnp.asarray(dft_matrix(spec, la, wA,
-                                         scale if first else 1))
+            mat = jnp.asarray(mk(spec, la, wA, scale if first else 1))
             self.levels.append((la, lb, t1t, mat))
             log, w, first = lb, pow(w, A, spec.modulus), False
-        self.leaf = (log, jnp.asarray(dft_matrix(
-            spec, log, w, scale if first else 1)))
+        self.leaf = (log, jnp.asarray(mk(spec, log, w,
+                                         scale if first else 1)))
         self.mid_vb = _fold_plan(spec, maxk).out_vb
         self.leaf_vb = _fold_plan(spec, log).out_vb
 
 
 @functools.lru_cache(maxsize=16)
 def mxu_plan(spec: FieldSpec, log_n: int, inverse: bool = False,
-             maxk: int = 7, omega: int | None = None) -> MxuNttPlan:
+             maxk: int = 7, omega: int | None = None,
+             grouped: bool = True, fused: bool = False) -> MxuNttPlan:
     if omega is None:
         omega = spec.root_of_unity(log_n)
     scale = 1
@@ -261,7 +351,7 @@ def mxu_plan(spec: FieldSpec, log_n: int, inverse: bool = False,
     # whole setup would inline into the jitted graph and rerun per call,
     # and the cache would hold leaked tracers.
     with jax.ensure_compile_time_eval():
-        return MxuNttPlan(spec, log_n, omega, maxk, scale)
+        return MxuNttPlan(spec, log_n, omega, maxk, scale, grouped, fused)
 
 
 def plan_tables(plan: MxuNttPlan):
@@ -278,10 +368,25 @@ def _transform(plan: MxuNttPlan, level: int, x: jnp.ndarray,
     """NTT along axis 1 of (L, M, batch), natural in/out order.  Output
     limbs normalized, value < plan.{leaf,mid}_vb."""
     spec = plan.spec
+    if plan.fused:
+        from . import backend
+        if backend.kernels_enabled():
+            from .ntt_fused import _BLK, dft_apply_fused
+            interp = backend.interpret()
+
+            def dapply(sp, xx, lk, mm):
+                if xx.shape[-1] % _BLK == 0:
+                    return dft_apply_fused(sp, xx, lk, mm,
+                                           interpret=interp)
+                return dft_apply2(sp, xx, lk, mm)
+        else:
+            dapply = dft_apply2
+    else:
+        dapply = dft_apply2 if plan.grouped else dft_apply
     lvl_tabs, leaf_mat = tables
     if level == len(plan.levels):
         log_k, _ = plan.leaf
-        return dft_apply(spec, x, log_k, leaf_mat)
+        return dapply(spec, x, log_k, leaf_mat)
     la, lb, _, _ = plan.levels[level]
     t1t, mat = lvl_tabs[level]
     A, B = 1 << la, 1 << lb
@@ -299,7 +404,7 @@ def _transform(plan: MxuNttPlan, level: int, x: jnp.ndarray,
     z = _vmul(spec, z.reshape(L, -1), pre.reshape(L, -1),
               vb_a=in_vb, vb_b=2 * spec.modulus).reshape(L, A, B * batch)
     # outer: length-A matmul pass
-    return dft_apply(spec, z, la, mat).reshape(L, A * B, batch)
+    return dapply(spec, z, la, mat).reshape(L, A * B, batch)
 
 
 def apply_ntt(plan: MxuNttPlan, x: jnp.ndarray, tables) -> jnp.ndarray:

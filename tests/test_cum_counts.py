@@ -29,3 +29,18 @@ def test_cum_counts_dead_and_zero():
     for w in range(W):
         want = np.searchsorted(keys[w], np.arange(1, D + 1), side="right")
         np.testing.assert_array_equal(got[w], want)
+
+
+def test_hist_kernel_matches_xla_path():
+    """The fused Pallas histogram (interpret mode) vs the XLA one-hot
+    matmul path — same counts, same dead/zero handling."""
+    from panda_tpu.ops import hist_pallas
+    rng = np.random.default_rng(5)
+    W, n, D = 3, 4096, 1 << 11
+    digits = rng.integers(0, D + 2, size=(W, n)).astype(np.uint32)
+    digits[:, :30] = 0
+    got = np.asarray(hist_pallas.hist_counts(jnp.asarray(digits), D,
+                                             interpret=True))
+    for w in range(W):
+        want = np.bincount(digits[w], minlength=D + 2)[1:D + 1]
+        np.testing.assert_array_equal(got[w], want)

@@ -30,13 +30,14 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
-from panda_tpu.curves.config import BN254
+from panda_tpu.curves.config import CURVES
 from panda_tpu.fields import codec
 from panda_tpu.ops import msm as msm_ops
 from panda_tpu.ops import reduce as red
 from panda_tpu.reference import curve_ref
 
 LOG_N = int(os.environ.get("PANDA_PROF_LOG_N", "20"))
+CURVE = os.environ.get("PANDA_PROF_CURVE", "bn254")
 REPS = int(os.environ.get("PANDA_PROF_REPS", "3"))
 
 
@@ -60,7 +61,7 @@ def timed(fn, *args):
 
 def main():
     n = 1 << LOG_N
-    curve = BN254
+    curve = CURVES[CURVE]
     fp, fr = curve.fp, curve.fr
     rng = np.random.default_rng(1)
     g = (curve.gen_x, curve.gen_y)
@@ -77,15 +78,15 @@ def main():
     scalars = jnp.asarray(codec.ints_to_limbs(
         fr, [fr.to_mont_int(v) for v in sv]))
 
-    c = msm_ops.window_bits(LOG_N)
+    c = msm_ops.window_bits(LOG_N, bits=fr.bits)
     W_all = msm_ops.signed_window_count(fr.bits, c)
     # PANDA_PROF_WG profiles a window GROUP of this size (the real
     # pipeline's per-pass unit at large n, where staging all W windows at
     # once would blow HBM); full(ws) below always runs the real pipeline.
     W = int(os.environ.get("PANDA_PROF_WG", W_all))
     m = msm_ops.default_lanes(n, W)
-    print(f"n=2^{LOG_N} c={c} W={W} (of {W_all}) lanes={m} steps={n // m}",
-          flush=True)
+    print(f"{CURVE} n=2^{LOG_N} c={c} W={W} (of {W_all}) lanes={m} "
+          f"steps={n // m}", flush=True)
 
     # --- recode ----------------------------------------------------------
     rec = jax.jit(functools.partial(
