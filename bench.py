@@ -239,9 +239,15 @@ def bench_ntt(curve, extras):
     # prover transforms many polynomials per proof, and the tunnel's
     # per-dispatch floor is a dev-harness artifact, not chip time.
     with _section("ntt streaming timing"):
+        from panda_tpu.ops import backend as _backend
         from panda_tpu.ops import ntt_mxu
         CHAIN = 8
-        plan = ntt_mxu.mxu_plan(fr, LOG_NTT)
+        # Same engine the gated forward call used: run_ntt's production
+        # plan selection (fused Pallas dft passes on kernel backends) —
+        # the timed path and the oracle-gated path must not diverge.
+        fused = ntt_ops._ntt_fused_flag(_backend.mode())
+        plan = ntt_mxu.mxu_plan(fr, LOG_NTT, maxk=5 if fused else 7,
+                                fused=fused)
         tabs = ntt_mxu.plan_tables(plan)
 
         def stream(a, t):

@@ -237,11 +237,25 @@ def _fused_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int,
     return jax.jit(run)
 
 
+def _ntt_fused_flag(mode: str) -> bool:
+    """Fused Pallas dft passes (ops/ntt_fused.py) on kernel-enabled
+    backends.  PANDA_NTT_FUSED=0 falls back to the unfused XLA engine.
+    Read at call time and passed INTO the lru_cache key below — an env
+    flip between calls must not silently reuse the other executable."""
+    import os
+    return os.environ.get("PANDA_NTT_FUSED", "1") != "0" and mode != "off"
+
+
 @functools.lru_cache(maxsize=32)
 def _mxu_jitted(spec: FieldSpec, log_n: int, inverse: bool, omega: int,
-                mode: str):
+                mode: str, fused: bool = False):
     from . import backend, ntt_mxu
-    plan = ntt_mxu.mxu_plan(spec, log_n, inverse, omega=omega)
+    # Fused: one kernel per four-step level, maxk=5 so the DFT matrix
+    # stays VMEM-resident.  Measured on v5e at 2^20: 90.6 M elem/s vs
+    # 72.4 for the XLA dft_apply2 form (bit-identical;
+    # tools/ab_ntt_fused.py).
+    plan = ntt_mxu.mxu_plan(spec, log_n, inverse, omega=omega,
+                            maxk=5 if fused else 7, fused=fused)
     tables = ntt_mxu.plan_tables(plan)
 
     def run(x, tabs):
@@ -277,7 +291,8 @@ def run_ntt(spec: FieldSpec, x: jnp.ndarray, tables: NttTables,
     big = tables.log_n >= _FUSED_MIN_LOG_N and tables.omega
     if tables.omega and (impl == "mxu"
                          or (impl == "auto" and big and mode != "off")):
-        return _mxu_jitted(spec, tables.log_n, inverse, tables.omega, mode)(x)
+        return _mxu_jitted(spec, tables.log_n, inverse, tables.omega, mode,
+                           _ntt_fused_flag(mode))(x)
     if impl == "pallas" and big and mode != "off":
         return _fused_jitted(spec, tables.log_n, inverse, tables.omega,
                              mode)(x)

@@ -40,19 +40,23 @@ def _kernel(spec: FieldSpec, log_k: int, K: int, x_ref, mat_ref, y_ref):
          (xf >> (2 * DIG_BITS)) & DIG_MAX], axis=0).astype(jnp.int8)
     acc = jax.lax.dot_general(mat_ref[:], d, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
-    # leading-dim-only reshape (last dim stays _BLK: Mosaic-friendly)
+    # leading-dim-only reshape (last dim stays _BLK: Mosaic-friendly).
+    # All value indexing below uses STATIC slices (index_in_dim): plain
+    # jnp integer indexing lowers through dynamic_slice, which Mosaic
+    # does not implement.
+    pick = lambda v, i: jax.lax.index_in_dim(v, i, 0, keepdims=False)
     a = acc.reshape(DIG_PER_LIMB, L, K, _BLK).astype(jnp.uint32)
-    a0, a1, a2 = a[0], a[1], a[2]
+    a0, a1, a2 = pick(a, 0), pick(a, 1), pick(a, 2)
     spill = jnp.concatenate(
         [jnp.zeros_like(a2[:1]), a2[:-1] >> DIG_BITS], axis=0)
     limbs = (a0 + (a1 << DIG_BITS) + ((a2 & DIG_MAX) << (2 * DIG_BITS))
              + spill)                                    # (L, K, BLK)
-    spill_top = a2[-1] >> DIG_BITS                       # (K, BLK)
+    spill_top = pick(a2, L - 1) >> DIG_BITS              # (K, BLK)
     out = []
-    carry = jnp.zeros_like(limbs[0])
+    carry = jnp.zeros_like(spill_top)
     for i in range(fp.n_limbs_ext):
         if i < L:
-            s = limbs[i] + carry
+            s = pick(limbs, i) + carry
         elif i == L:
             s = spill_top + carry
         else:

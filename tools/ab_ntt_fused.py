@@ -52,9 +52,12 @@ def timed(fn, *args):
 
 
 def chain(op):
-    def f(x):
+    # Tables ride as ARGUMENTS (closing over them embeds hundreds of MB
+    # of plan constants in the program — the remote compiler rejects the
+    # request at 2^22+).
+    def f(x, tabs):
         def body(carry, i):
-            return op(carry ^ i.astype(carry.dtype)), ()
+            return op(carry ^ i.astype(carry.dtype), tabs), ()
         y, _ = jax.lax.scan(body, x, jnp.arange(R, dtype=jnp.uint32))
         return y.sum(dtype=jnp.uint32)
     return f
@@ -89,9 +92,13 @@ def main():
         ("maxk5_fused", dict(maxk=5, grouped=True, fused=True)),
         ("maxk6_fused", dict(maxk=6, grouped=True, fused=True)),
     ]
-    if len(sys.argv) > 2:     # substring filter, e.g. "fused"
+    if len(sys.argv) > 2:     # substring filter, e.g. "fused" / "only:maxk5_fused"
         keep = sys.argv[2]
-        variants = [v for v in variants if keep in v[0] or v[0] == "maxk7"]
+        if keep.startswith("only:"):
+            variants = [v for v in variants if v[0] == keep[5:]]
+        else:
+            variants = [v for v in variants
+                        if keep in v[0] or v[0] == "maxk7"]
     ref = None
     for name, kw in variants:
         try:
@@ -115,8 +122,8 @@ def main():
                 log("spot oracle ok (2 spots)")
             else:
                 assert np.array_equal(y, ref), f"{name} output differs"
-            t = timed(chain(lambda a, p=plan, tt=tabs:
-                            ntt_mxu.apply_ntt(p, m15(a), tt)), x)
+            t = timed(chain(lambda a, tt, p=plan:
+                            ntt_mxu.apply_ntt(p, m15(a), tt)), x, tabs)
             per = (t - floor) / R
             out[name + "_ms"] = round(per * 1e3, 2)
             out[name + "_Melem_s"] = round(n / per / 1e6, 1)

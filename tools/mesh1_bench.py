@@ -109,10 +109,15 @@ def main():
     lp = codec.ints_to_limbs(fr, [fr.to_mont_int(v) for v in vals])
     x = jnp.asarray(np.take(lp, rng.integers(pool, size=n), axis=1))
 
-    plan = ntt_mxu.mxu_plan(fr, LOG_N)
+    from panda_tpu.ops import backend as _backend
+    from panda_tpu.ops import ntt as _ntt_ops
+    fused = _ntt_ops._ntt_fused_flag(_backend.mode())
+    plan = ntt_mxu.mxu_plan(fr, LOG_N, maxk=5 if fused else 7, fused=fused)
     tabs = ntt_mxu.plan_tables(plan)
-    ntt_plain = jax.jit(lambda a: ntt_mxu.apply_ntt(plan, a, tabs))
-    t_nplain = timed(ntt_plain, x)
+    # tables as ARGUMENTS: closures embed them as program constants
+    ntt_plain_fn = jax.jit(lambda a, t: ntt_mxu.apply_ntt(plan, a, t))
+    ntt_plain = lambda a: ntt_plain_fn(a, tabs)
+    t_nplain = timed(ntt_plain_fn, x, tabs)
     log(f"unsharded MXU ntt {t_nplain*1e3:.1f} ms")
     y_plain = np.asarray(ntt_plain(x))
 

@@ -73,7 +73,10 @@ def main():
     # The gated transform IS the timed transform: the MXU plan applied
     # directly (run_ntt's engine selection follows PANDA_NTT_IMPL /
     # PANDA_PALLAS env vars and could diverge from the streamed path).
-    plan = ntt_mxu.mxu_plan(fr, LOG_N)
+    from panda_tpu.ops import backend as _backend
+    from panda_tpu.ops import ntt as ntt_ops
+    fused = ntt_ops._ntt_fused_flag(_backend.mode())
+    plan = ntt_mxu.mxu_plan(fr, LOG_N, maxk=5 if fused else 7, fused=fused)
     tabs = ntt_mxu.plan_tables(plan)
     fwd = jax.jit(lambda a, t: ntt_mxu.apply_ntt(plan, a, t))
 
@@ -101,21 +104,10 @@ def main():
     log(f"spot-oracle gate ok ({n_spots} spots)")
     del y_np
 
-    if os.environ.get("PANDA_NTT_LARGE_ROUNDTRIP", "1") != "0":
-        log("roundtrip gate: compiling inverse transform")
-        iplan = ntt_mxu.mxu_plan(fr, LOG_N, inverse=True)
-        itabs = ntt_mxu.plan_tables(iplan)
-        ifwd = jax.jit(lambda a, t: ntt_mxu.apply_ntt(iplan, a, t))
-        xr = np.asarray(ifwd(y, itabs))
-        assert np.array_equal(xr, np.asarray(x)), "INTT(NTT(x)) != x"
-        roundtrip = f"2^{LOG_N} bit-exact ok"
-        log("roundtrip gate ok (bit-exact)")
-        del xr, iplan, itabs, ifwd
-    else:
-        roundtrip = "skipped"
-    del y
-
     # Streaming throughput: data-dependent chain inside one program.
+    # (Before the roundtrip: the inverse plan's top twiddle table is
+    # n-sized — at 2^24, forward + inverse tables resident together with
+    # the streaming transients exhausted HBM.)
     CHAIN = 4
 
     def stream(a, t):
@@ -133,6 +125,25 @@ def main():
         best = min(best, time.perf_counter() - t0)
     tput = n / (best / CHAIN)
     log(f"streaming {best:.3f}s / {CHAIN} transforms")
+
+    if os.environ.get("PANDA_NTT_LARGE_ROUNDTRIP", "1") != "0":
+        # Free the forward plan's device tables (the lru cache pins them)
+        # before building the inverse plan.
+        del plan, tabs, sfn
+        ntt_mxu.mxu_plan.cache_clear()
+        log("roundtrip gate: compiling inverse transform")
+        iplan = ntt_mxu.mxu_plan(fr, LOG_N, inverse=True,
+                                 maxk=5 if fused else 7, fused=fused)
+        itabs = ntt_mxu.plan_tables(iplan)
+        ifwd = jax.jit(lambda a, t: ntt_mxu.apply_ntt(iplan, a, t))
+        xr = np.asarray(ifwd(y, itabs))
+        assert np.array_equal(xr, np.asarray(x)), "INTT(NTT(x)) != x"
+        roundtrip = f"2^{LOG_N} bit-exact ok"
+        log("roundtrip gate ok (bit-exact)")
+        del xr, iplan, itabs, ifwd
+    else:
+        roundtrip = "skipped"
+    del y
     print(json.dumps({
         "metric": f"bn254_ntt_2^{LOG_N}_throughput",
         "value": round(tput, 1),

@@ -1,5 +1,10 @@
 """Round-5 NTT large-size breakdown (v5e via axon).
 
+NOTE (post-mortem): the original full-chain timing CLOSED OVER the plan
+tables, embedding >1 GB of constants in the program — the remote compile
+ground for 20+ min and never returned.  Kept for the component probes;
+pass tables as arguments if reviving the full-chain section.
+
 Why: VERDICT r04 weak #2 — NTT throughput drops 52.4M -> 34.5M elem/s
 from 2^20 to 2^24 ("large-footprint HBM regime").  Before redesigning,
 measure WHERE the 2^24 wall time goes, per component, with the

@@ -284,9 +284,53 @@ def check_bls12_377():
     record("bls12_377_msm_2^18_crosscheck", r1 == r2, time.time() - t0,
            f"c={c} vs c={c - 1}")
 
+    # Large-size kernel A/B on the 26-limb pipeline (round-4 verdict #8:
+    # the 381 unpack bug proved kernel bugs exist that CPU gates miss).
+    import jax.numpy as jnp
+    t0 = time.time()
+    r_off = None
+
+    def run(kmode):
+        fn = jax.jit(lambda a, b, s: jnp.stack(
+            msm_ops.window_sums_fn(BLS12_377, c, kernels=kmode)(a, b, s)))
+        sums = np.asarray(fn(px, py, sc))
+        return msm_ops.host_horner(BLS12_377, list(sums), c)
+
+    r_on = run("on")
+    r_off = run("off")
+    record("bls12_377_msm_2^18_kernel_ab", r_on == r_off == r1,
+           time.time() - t0, f"kernels on == off == device result, c={c}")
+
     t0 = time.time()
     ok, _ = ntt_roundtrip(BLS12_377, 18)
     record("bls12_377_ntt_2^18_roundtrip", ok, time.time() - t0)
+
+
+def check_ntt_fused_ab():
+    """Fused Pallas dft passes (maxk=5, ntt_fused.py) vs the XLA engine
+    (maxk=7, dft_apply2) ON CHIP at 2^18: bit-identical outputs."""
+    import jax.numpy as jnp
+
+    from panda_tpu.fields import codec
+    from panda_tpu.ops import ntt_mxu
+    t0 = time.time()
+    fr = BN254.fr
+    n = 1 << 18
+    rng = np.random.default_rng(21)
+    import random as _r
+    pr = _r.Random(8)
+    pool = 1 << 12
+    vals = [pr.randrange(fr.modulus) for _ in range(pool)]
+    lp = codec.ints_to_limbs(fr, [fr.to_mont_int(v) for v in vals])
+    x = jnp.asarray(np.take(lp, rng.integers(pool, size=n), axis=1))
+    pf = ntt_mxu.mxu_plan(fr, 18, maxk=5, fused=True)
+    pu = ntt_mxu.mxu_plan(fr, 18)
+    yf = np.asarray(jax.jit(lambda a, t: ntt_mxu.apply_ntt(pf, a, t))(
+        x, ntt_mxu.plan_tables(pf)))
+    yu = np.asarray(jax.jit(lambda a, t: ntt_mxu.apply_ntt(pu, a, t))(
+        x, ntt_mxu.plan_tables(pu)))
+    record("bn254_ntt_2^18_fused_ab", np.array_equal(yf, yu),
+           time.time() - t0, "fused maxk5 == XLA maxk7 bitwise")
 
 
 def main():
@@ -300,6 +344,7 @@ def main():
     check_kernel_ab_large()
     check_cached_bases_precompute()
     check_ntt_sizes()
+    check_ntt_fused_ab()
     check_msm_sweep()
     check_bls12_377()
     RESULTS["all_ok"] = all(c["ok"] for c in RESULTS["checks"])
