@@ -300,10 +300,11 @@ def canonical(spec: FieldSpec, a: FE | jnp.ndarray) -> jnp.ndarray:
         n = int(np.prod(batch)) if batch else 1
         from ..ops import backend               # deferred: avoids cycle
         if backend.kernels_enabled() and n % 1024 == 0:
-            # Fused-kernel multiply (the jnp schoolbook path would cost
-            # ~60 ms at (L, 2^20); the Pallas fmul ~1.2 ms true).  On
-            # non-kernel backends the ladder below stays — its graph is
-            # far smaller to compile and those paths are test-sized.
+            # ONE fused kernel: Montgomery multiply by rep(1) (reduces any
+            # in-range value to < 2p) + in-kernel cond_sub(p) -> [0, p).
+            # Bit-identical to [fmul; norm; cond_sub ladder] — the jnp
+            # ladder below stays for non-kernel backends, whose paths are
+            # test-sized and compile-cost-sensitive.
             from ..ops import point_pallas
             a = norm(spec, a)
             L = spec.n_limbs
@@ -311,9 +312,9 @@ def canonical(spec: FieldSpec, a: FE | jnp.ndarray) -> jnp.ndarray:
                 _const(spec.mont_limbs(1), 1), (L, n))
             v = point_pallas.fmul(spec, a.v.reshape(L, n), ob,
                                   vb_a=a.vb, vb_b=spec.modulus,
-                                  interpret=backend.interpret())
-            a = FE(v.reshape((L,) + batch), 1 << LIMB_BITS,
-                   2 * spec.modulus)
+                                  interpret=backend.interpret(),
+                                  canonical_out=True)
+            return v.reshape((L,) + batch)
     a = norm(spec, a)
     v = a.v
     k = max((a.vb + spec.modulus - 1) // spec.modulus, 1)

@@ -212,44 +212,75 @@ def weighted_scan(curve: CurveSpec, bx, by, bz, interpret: bool = False):
 # ---------------------------------------------------------------------------
 
 
-def _fmul_body(spec, vb_a, vb_b, ch):
+def _cond_sub_p(spec, v):
+    """v - p if v >= p else v, on a normalized limb list (borrow chain +
+    select in registers) — kernel twin of mont.cond_sub."""
+    from ..fields.config import LIMB_BITS, LIMB_MASK
+    base = np.uint32(1 << LIMB_BITS)
+    mask = np.uint32(LIMB_MASK)
+    p = spec.p_limbs
+    out, borrow = [], None
+    for i in range(spec.n_limbs):
+        t = v[i] + base - np.uint32(p[i])
+        if borrow is not None:
+            t = t - borrow
+        out.append(t & mask)
+        borrow = np.uint32(1) - (t >> LIMB_BITS)
+    take = borrow == 0
+    return [jnp.where(take, d, o) for d, o in zip(out, v)]
+
+
+def _fmul_body2(spec, vb_a, vb_b, ch, canonical_out=False):
     from ..fields.config import LIMB_BITS
     from .kernel_field import LF, _mul
 
     def kernel(a_ref, b_ref, o_ref):
         L = spec.n_limbs
         for t in range(ch):
-            a = LF([a_ref[t, i] for i in range(L)], 1 << LIMB_BITS, vb_a)
-            b = LF([b_ref[t, i] for i in range(L)], 1 << LIMB_BITS, vb_b)
+            a = LF([a_ref[i, t] for i in range(L)], 1 << LIMB_BITS, vb_a)
+            b = LF([b_ref[i, t] for i in range(L)], 1 << LIMB_BITS, vb_b)
             out = _mul(spec, a, b)
+            v = out.v
+            if canonical_out:
+                v = _cond_sub_p(spec, v)     # < 2p -> [0, p)
             for i in range(L):
-                o_ref[t, i] = out.v[i]
+                o_ref[i, t] = v[i]
     return kernel
 
 
 def fmul(spec, a, b, vb_a: int | None = None, vb_b: int | None = None,
-         interpret: bool = False):
+         interpret: bool = False, canonical_out: bool = False):
     """Elementwise Montgomery multiply on uint32[L, N] arrays (normalized
     limbs, values < vb_a/vb_b — default 2p); one fused kernel.
     Bit-identical to fields/mont.py::mul on the same input class (the
-    value bounds only gate the trace-time overflow asserts)."""
+    value bounds only gate the trace-time overflow asserts).
+
+    Layout: the (L, N) array is VIEWED as (L, T, 8, 128) — a pure
+    reshape, limbs stay the leading axis.  The previous (T, L, 8, 128)
+    form paid an XLA relayout on both sides of the kernel (~4 ms of the
+    42.7 ms 2^24 call, tools/profile_r05_fused.py).
+
+    ``canonical_out``: additionally conditional-subtract p in-kernel, so
+    the result is fully reduced to [0, p) — fuses ``mont.canonical``'s
+    final ladder step into the same pass (bit-identical: the external
+    path does exactly one cond_sub(p) on the < 2p kernel output)."""
     vb_a = 2 * spec.modulus if vb_a is None else vb_a
     vb_b = 2 * spec.modulus if vb_b is None else vb_b
     L = spec.n_limbs
     n = a.shape[-1]
     T = -(-n // _TILE)
     P = T * _TILE
-    at = _to_tiles(_pad(a, P), T)
-    bt = _to_tiles(_pad(b, P), T)
+    a4 = _pad(a, P).reshape(L, T, 8, 128)
+    b4 = _pad(b, P).reshape(L, T, 8, 128)
     CH = next(u for u in (8, 4, 2, 1) if T % u == 0)
-    spec_b = pl.BlockSpec((CH, L, 8, 128), lambda t: (t, 0, 0, 0),
+    spec_b = pl.BlockSpec((L, CH, 8, 128), lambda t: (0, t, 0, 0),
                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _fmul_body(spec, vb_a, vb_b, CH),
+        _fmul_body2(spec, vb_a, vb_b, CH, canonical_out),
         grid=(T // CH,),
         in_specs=[spec_b, spec_b],
         out_specs=spec_b,
-        out_shape=jax.ShapeDtypeStruct((T, L, 8, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, T, 8, 128), jnp.uint32),
         interpret=interpret,
-    )(at, bt)
-    return _from_tiles(out, n)
+    )(a4, b4)
+    return out.reshape(L, P)[:, :n]

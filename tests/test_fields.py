@@ -134,3 +134,30 @@ def test_point_codec_roundtrip(rng):
     px, py = codec.points_bytes_to_limbs(spec, blob)
     assert codec.limbs_to_ints(spec, px) == xs
     assert codec.limbs_to_ints(spec, py) == ys
+
+
+def test_canonical_kernel_path_bit_identical():
+    """The one-kernel canonical (fmul by rep(1) + in-kernel cond_sub,
+    interpret mode) vs the jnp ladder path — bit-identical on the NTT
+    engine's loose-bound output class."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from panda_tpu.fields import codec, mont
+    from panda_tpu.fields.config import BN254_FR as spec, limbs_to_int
+    from panda_tpu.ops import backend
+    pr = random.Random(6)
+    N = 1024
+    vb = (1 << 9) * spec.modulus
+    vals = [pr.randrange(vb) for _ in range(N)]
+    v = jnp.asarray(codec.ints_to_limbs(spec, vals))
+    with backend.forced("interpret"):
+        got = np.asarray(mont.canonical(spec, mont.FE(v, 1 << 15, vb)))
+    with backend.forced("off"):
+        ref = np.asarray(mont.canonical(spec, mont.FE(v, 1 << 15, vb)))
+    assert np.array_equal(got, ref)
+    p = spec.modulus
+    for j in range(0, N, 97):
+        assert limbs_to_int(got[:, j]) == vals[j] % p
