@@ -70,7 +70,9 @@ def _reduce_mats(spec: FieldSpec):
     m2 = np.zeros((D, Dout), np.int8)
     for i in range(D):
         m2[i, :] = digs(spec.modulus << (DIG_BITS * i), Dout)
-    return jnp.asarray(m1), jnp.asarray(m2)
+    # numpy out of the cache: jnp.asarray under an active trace would
+    # cache a leaked tracer (tiny matrices — constant-folding is fine)
+    return m1, m2
 
 
 def _digits(x_limbs):

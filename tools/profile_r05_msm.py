@@ -55,12 +55,17 @@ def timed(fn, *args):
 
 
 def chain(op):
+    # Shape-free chain: the op's output reduces to one bit xor'd into the
+    # carry, so arbitrary-output components stay data-dependent across
+    # repeats (no CSE) without matching carry shapes.
     def f(x):
         def body(carry, i):
-            return op(carry ^ i.astype(carry.dtype)), ()
+            out = op(carry ^ i.astype(carry.dtype))
+            scal = sum(v.astype(jnp.uint32).sum(dtype=jnp.uint32)
+                       for v in jax.tree.leaves(out))
+            return carry ^ (scal & np.uint32(1)), ()
         y, _ = jax.lax.scan(body, x, jnp.arange(R, dtype=jnp.uint32))
-        return sum(v.astype(jnp.uint32).sum(dtype=jnp.uint32)
-                   for v in jax.tree.leaves(y))
+        return y.sum(dtype=jnp.uint32)
     return f
 
 
