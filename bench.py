@@ -238,6 +238,12 @@ def bench_ntt(curve, extras):
     # cannot elide repeats).  This is the production-shaped number — a
     # prover transforms many polynomials per proof, and the tunnel's
     # per-dispatch floor is a dev-harness artifact, not chip time.
+    if LOG_NTT >= 23:
+        # Marginal HBM at 2^24: the 8-chain's transients plus x, y and
+        # the n-sized forward twiddle table just tip over 16 GB.  Drop y
+        # for the streaming section (the roundtrip gate recomputes it —
+        # a cached sub-second call).
+        del y
     with _section("ntt streaming timing"):
         from panda_tpu.ops import backend as _backend
         from panda_tpu.ops import ntt_mxu
@@ -273,6 +279,15 @@ def bench_ntt(curve, extras):
         est = 1.3 * _SECS.get("ntt compile+first run", 300.0) + 30.0
         if _elapsed() + est <= BUDGET:
             with _section("ntt roundtrip gate"):
+                if LOG_NTT >= 23:
+                    y = fwd(x)              # recompute (compiled, cached)
+                    # Free the forward plan's device tables first: the
+                    # n-sized forward + inverse twiddle tables co-resident
+                    # with the roundtrip transients exhaust HBM at 2^24
+                    # (1.2 GB each; observed ResourceExhausted).
+                    del plan, tabs, sfn
+                    ntt_ops._mxu_jitted.cache_clear()
+                    ntt_mxu.mxu_plan.cache_clear()
                 back = np.asarray(ntt_ops.run_ntt(fr, y, tables, inverse=True))
                 assert (back == np.asarray(x)).all(), \
                     "NTT/INTT roundtrip mismatch"
